@@ -1,0 +1,105 @@
+"""Facade tests mirroring the reference quickstart (README.md:37-81) and its
+integration suite (tests/test_model_and_features.py)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_interactions
+from torchrecsys_tpu import RecSys
+
+
+def quickstart_data(n=1200, metadata=False):
+    return make_interactions(n_users=80, n_items=40, n=n, metadata=metadata, seed=1)
+
+
+@pytest.mark.parametrize("net_type", ["linear", "mlp", "fm", "neucf"])
+def test_fit_evaluate_predict_roundtrip(net_type):
+    rs = RecSys(
+        quickstart_data(),
+        user_id_col="user_id",
+        item_id_col="item_id",
+        n_factors=8,
+        net_type=net_type,
+        hidden_layers=(16, 8),
+    )
+    losses = rs.fit(optimizer="adam", epochs=2, batch_size=128, verbose=False)
+    assert len(losses) == 2 and np.isfinite(losses).all()
+    metrics = rs.evaluate(eval_metrics=["loss", "auc"], verbose=False)
+    assert 0.0 <= metrics["auc"] <= 1.0
+    top = rs.predict(user_id=3, top_k=5)
+    assert top.shape == (5,)
+    assert len(set(top.tolist())) == 5
+
+
+def test_predict_batch_users():
+    rs = RecSys(quickstart_data(), n_factors=8, item_id_col="item_id")
+    rs.fit(epochs=1, batch_size=128, verbose=False)
+    top = rs.predict(user_id=[0, 1, 2], top_k=4)
+    assert top.shape == (3, 4)
+
+
+def test_predict_batching_invariance():
+    """reference test_model_and_features.py:203-215."""
+    rs = RecSys(quickstart_data(), n_factors=8)
+    rs.fit(epochs=1, batch_size=128, verbose=False)
+    a = rs.predict(user_id=5, top_k=10, prediction_batch_size=7)
+    b = rs.predict(user_id=5, top_k=10, prediction_batch_size=4096)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_predict_returns_raw_ids():
+    data = quickstart_data()
+    data["item_id"] = data["item_id"] * 100 + 7  # non-contiguous raw ids
+    rs = RecSys(data, n_factors=8)
+    rs.fit(epochs=1, batch_size=128, verbose=False)
+    top = rs.predict(user_id=data["user_id"][0], top_k=5)
+    assert all(t % 100 == 7 for t in top.tolist())
+
+
+def test_metadata_quickstart_and_predict():
+    """Metadata works end-to-end including predict — the reference's predict
+    with metadata always crashes (SURVEY §2.9 #4)."""
+    rs = RecSys(
+        quickstart_data(metadata=True),
+        metadata_id_col=["category_ids"],
+        n_factors=8,
+        net_type="fm",
+    )
+    rs.fit(epochs=2, batch_size=128, verbose=False)
+    top = rs.predict(user_id=0, top_k=5)
+    assert top.shape == (5,)
+
+
+def test_dynamic_neg_sampling_api():
+    rs = RecSys(quickstart_data(), dynamic_neg_sampling=True, n_factors=8)
+    losses = rs.fit(epochs=2, batch_size=128, verbose=False)
+    assert np.isfinite(losses).all()
+    assert "neg_item_id" not in rs.store.train_arrays()
+
+
+def test_use_amp_bfloat16():
+    rs = RecSys(quickstart_data(), use_amp=True, n_factors=8, net_type="mlp",
+                hidden_layers=(16,))
+    assert rs.model_cfg.compute_dtype == "bfloat16"
+    losses = rs.fit(epochs=1, batch_size=128, verbose=False)
+    assert np.isfinite(losses).all()
+
+
+def test_config_dict_reference_shape():
+    rs = RecSys(quickstart_data(metadata=True), metadata_id_col=["category_ids"])
+    cfg = rs.config
+    assert set(cfg) == {"num_users", "num_items", "num_metadata"}
+    assert cfg["num_items"] == 40
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    rs = RecSys(quickstart_data(), n_factors=8, seed=11)
+    rs.fit(epochs=1, batch_size=128, verbose=False)
+    pred_before = rs.predict(user_id=1, top_k=5)
+    rs.save(str(tmp_path / "ckpt"))
+
+    rs2 = RecSys(quickstart_data(), n_factors=8, seed=11)
+    rs2.fit(epochs=0, batch_size=128, verbose=False)  # init only
+    rs2.restore(str(tmp_path / "ckpt"))
+    pred_after = rs2.predict(user_id=1, top_k=5)
+    np.testing.assert_array_equal(pred_before, pred_after)

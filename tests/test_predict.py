@@ -1,0 +1,94 @@
+"""Full-catalog top-k prediction tests, including the reference suite's best
+property: batching invariance (tests/test_model_and_features.py:203-215) —
+the chunked running top-k must equal a full-sort top-k for any chunk size."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchrecsys_tpu.config import DataSchema, ModelConfig
+from torchrecsys_tpu.eval.predict import full_catalog_scores, full_catalog_topk
+from torchrecsys_tpu.models import build_model
+
+SCHEMA = DataSchema(num_users=25, num_items=103)  # deliberately not chunk-aligned
+
+
+@pytest.fixture(scope="module")
+def linear_setup():
+    model = build_model(SCHEMA, ModelConfig(net_type="linear", n_factors=8))
+    params, state = model.init(jax.random.PRNGKey(0))
+    return model, params, state
+
+
+def test_topk_shapes(linear_setup):
+    model, params, state = linear_setup
+    users = jnp.asarray([0, 1, 2], jnp.int32)
+    scores, ids = full_catalog_topk(model, params, state, users, SCHEMA.num_items, top_k=10)
+    assert scores.shape == (3, 10)
+    assert ids.shape == (3, 10)
+    assert (np.asarray(ids) < SCHEMA.num_items).all()
+    # descending order (reference sorts descending, model.py:443-451)
+    s = np.asarray(scores)
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+def test_topk_matches_full_sort(linear_setup):
+    model, params, state = linear_setup
+    users = jnp.asarray([3, 7], jnp.int32)
+    dense = np.asarray(
+        full_catalog_scores(model, params, state, users, SCHEMA.num_items)
+    )
+    _, ids = full_catalog_topk(
+        model, params, state, users, SCHEMA.num_items, top_k=5, chunk_size=16
+    )
+    expect = np.argsort(-dense, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(ids), expect)
+
+
+@pytest.mark.parametrize("chunk", [7, 64, 200])
+def test_batching_invariance(linear_setup, chunk):
+    """predict(chunk=7) == predict(chunk=n_items+1) — the reference's
+    invariance test carried over (test_model_and_features.py:203-215)."""
+    model, params, state = linear_setup
+    users = jnp.asarray([0, 11], jnp.int32)
+    _, ids_ref = full_catalog_topk(
+        model, params, state, users, SCHEMA.num_items, top_k=10,
+        chunk_size=SCHEMA.num_items + 1,
+    )
+    _, ids = full_catalog_topk(
+        model, params, state, users, SCHEMA.num_items, top_k=10, chunk_size=chunk
+    )
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
+
+
+def test_topk_larger_than_catalog(linear_setup):
+    model, params, state = linear_setup
+    users = jnp.asarray([0], jnp.int32)
+    scores, ids = full_catalog_topk(
+        model, params, state, users, SCHEMA.num_items, top_k=SCHEMA.num_items + 50
+    )
+    # clamps to catalog size, every item exactly once
+    assert ids.shape == (1, SCHEMA.num_items)
+    assert sorted(np.asarray(ids)[0].tolist()) == list(range(SCHEMA.num_items))
+
+
+def test_topk_with_metadata():
+    schema = DataSchema(
+        num_users=10, num_items=37, metadata_names=("cat",),
+        metadata_vocab_sizes=(5,), metadata_width=2,
+    )
+    model = build_model(schema, ModelConfig(net_type="fm", n_factors=8))
+    params, state = model.init(jax.random.PRNGKey(1))
+    r = np.random.default_rng(0)
+    meta_ids = jnp.asarray(r.integers(0, 5, (37, 1, 2)), jnp.int32)
+    meta_mask = jnp.asarray(np.ones((37, 1, 2), bool))
+    _, ids = full_catalog_topk(
+        model, params, state, jnp.asarray([0], jnp.int32), 37,
+        meta_ids, meta_mask, top_k=5, chunk_size=8,
+    )
+    _, ids_big = full_catalog_topk(
+        model, params, state, jnp.asarray([0], jnp.int32), 37,
+        meta_ids, meta_mask, top_k=5, chunk_size=64,
+    )
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_big))

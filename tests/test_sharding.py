@@ -1,0 +1,112 @@
+"""SPMD tests on a virtual 8-device CPU mesh.
+
+The reference has nothing distributed to test (SURVEY §2.10/§4); these tests
+establish the arithmetic contract the TPU build must keep: sharded execution
+produces the same numbers as single-device execution.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import make_interactions
+from torchrecsys_tpu.config import ModelConfig, TrainConfig
+from torchrecsys_tpu.data import prepare_data
+from torchrecsys_tpu.models import build_model
+from torchrecsys_tpu.parallel import batch_sharding, make_mesh
+from torchrecsys_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def store():
+    return prepare_data(
+        make_interactions(n_users=64, n_items=48, n=2048),
+        "user_id",
+        "item_id",
+        dynamic_neg_sampling=True,
+    )
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize(
+    "data,model", [(8, 1), (4, 2), (2, 4), (1, 8)], ids=lambda x: str(x)
+)
+def test_mesh_shapes(data, model):
+    mesh = make_mesh(data=data, model=model)
+    assert mesh.shape == {"data": data, "model": model}
+
+
+def test_mesh_infers_missing_axis():
+    mesh = make_mesh(model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(AssertionError):
+        make_mesh(model=3)
+
+
+def _run_steps(store, mesh, steps=3, net_type="mlp"):
+    model = build_model(
+        store.schema,
+        ModelConfig(net_type=net_type, n_factors=8, hidden_layers=(16, 8)),
+    )
+    cfg = TrainConfig(batch_size=256, dynamic_neg_sampling=True, learning_rate=0.05)
+    trainer = Trainer(model, cfg, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(trainer.train_step)
+    losses = []
+    for i in range(steps):
+        batch = {
+            "user_id": jnp.asarray(store.train_users[i * 256 : (i + 1) * 256]),
+            "pos_item_id": jnp.asarray(store.train_items[i * 256 : (i + 1) * 256]),
+        }
+        if mesh is not None:
+            batch = jax.device_put(batch, batch_sharding(mesh))
+        state, loss = step(state, batch, None, None)
+        losses.append(float(loss))
+    return state, losses
+
+
+@pytest.mark.parametrize("axes", [(8, 1), (4, 2), (1, 8)], ids=lambda x: str(x))
+def test_sharded_training_matches_single_device(store, axes):
+    """Same arithmetic on any mesh split — dp grads / row-sharded tables /
+    synced BN must not change the numbers (within fp tolerance)."""
+    state_ref, losses_ref = _run_steps(store, mesh=None)
+    mesh = make_mesh(data=axes[0], model=axes[1])
+    state_sh, losses_sh = _run_steps(store, mesh=mesh)
+    np.testing.assert_allclose(losses_sh, losses_ref, rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(state_sh["tables"]["item"]),
+        np.asarray(state_ref["tables"]["item"]),
+        atol=2e-5,
+    )
+
+
+def test_table_shards_are_row_splits(store):
+    mesh = make_mesh(data=2, model=4)
+    model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=8))
+    trainer = Trainer(model, TrainConfig(batch_size=128), mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    table = state["tables"]["user"]
+    sharding = table.sharding
+    assert sharding.spec == jax.sharding.PartitionSpec("model", None)
+    # each addressable shard covers all columns, a slice of rows
+    shard = table.addressable_shards[0]
+    assert shard.data.shape[1] == table.shape[1]
+    assert shard.data.shape[0] < table.shape[0]
+
+
+def test_full_epoch_on_mesh(store):
+    mesh = make_mesh(data=4, model=2)
+    model = build_model(
+        store.schema, ModelConfig(net_type="mlp", n_factors=8, hidden_layers=(16,))
+    )
+    cfg = TrainConfig(batch_size=256, dynamic_neg_sampling=True, learning_rate=0.05)
+    trainer = Trainer(model, cfg, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, losses = trainer.fit(state, store, epochs=2, verbose=False)
+    assert np.isfinite(losses).all()
+    metrics = trainer.evaluate(state, store, verbose=False)
+    assert 0.0 <= metrics["auc"] <= 1.0

@@ -1,0 +1,153 @@
+"""Training-loop tests: loss math, fused step, learning signal, sparse updates."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchrecsys_tpu.config import DataSchema, ModelConfig, TrainConfig
+from torchrecsys_tpu.data import prepare_data
+from torchrecsys_tpu.models import build_model
+from torchrecsys_tpu.train import Trainer, bpr_loss, hinge_loss, logistic_loss
+from torchrecsys_tpu.train.optim import apply_embedding_updates, init_embedding_opt
+
+
+def make_learnable_interactions(n_users=60, n_items=40, n=4000, seed=0):
+    """Block-structured data with real signal: even users like even items."""
+    r = np.random.default_rng(seed)
+    users = r.integers(0, n_users, n)
+    items = np.where(
+        users % 2 == 0,
+        r.integers(0, n_items // 2, n) * 2,  # even items
+        r.integers(0, n_items // 2, n) * 2 + 1,  # odd items
+    )
+    return {"user_id": users, "item_id": items}
+
+
+class TestLosses:
+    def test_hinge_exact(self):
+        # mean(clamp(neg - pos + 1, 0)) — helper/loss.py:7
+        pos = jnp.asarray([2.0, 0.0, -1.0])
+        neg = jnp.asarray([0.0, 0.0, 1.0])
+        np.testing.assert_allclose(float(hinge_loss(pos, neg)), (0 + 1 + 3) / 3)
+
+    def test_hinge_zero_when_separated(self):
+        assert float(hinge_loss(jnp.asarray([5.0]), jnp.asarray([0.0]))) == 0.0
+
+    def test_bpr_positive(self):
+        assert float(bpr_loss(jnp.asarray([1.0]), jnp.asarray([0.0]))) > 0
+
+    def test_logistic(self):
+        v = float(logistic_loss(jnp.asarray([10.0]), jnp.asarray([-10.0])))
+        assert v < 1e-3
+
+
+class TestSparseUpdates:
+    def test_sgd_matches_dense(self):
+        """Scatter SGD == dense SGD on the table gradient."""
+        table = jnp.ones((10, 4))
+        ids = jnp.asarray([1, 3, 1])  # duplicate id 1
+        g = jnp.asarray(np.random.default_rng(0).normal(size=(3, 4)), jnp.float32)
+        new, _ = apply_embedding_updates(
+            "sgd", 0.1, {"t": table}, {"t": {}}, {"t": [(ids, g)]}
+        )
+        dense_grad = np.zeros((10, 4), np.float32)
+        np.add.at(dense_grad, np.asarray(ids), np.asarray(g))
+        np.testing.assert_allclose(
+            np.asarray(new["t"]), np.asarray(table) - 0.1 * dense_grad, rtol=1e-6
+        )
+
+    def test_rowwise_adagrad_only_touches_gathered_rows(self):
+        table = jnp.ones((10, 4))
+        opt = init_embedding_opt("rowwise_adagrad", {"t": table})
+        ids = jnp.asarray([2, 5])
+        g = jnp.ones((2, 4))
+        new, new_opt = apply_embedding_updates(
+            "rowwise_adagrad", 0.1, {"t": table}, opt, {"t": [(ids, g)]}
+        )
+        diff = np.asarray(new["t"]) - np.asarray(table)
+        assert (diff[[0, 1, 3, 4, 6, 7, 8, 9]] == 0).all()
+        assert (diff[[2, 5]] != 0).all()
+        acc = np.asarray(new_opt["t"]["acc"])
+        assert acc[2] > 0 and acc[5] > 0 and acc[0] == 0
+
+    def test_multi_site_grads_accumulate(self):
+        """pos-item and neg-item sites both hitting one table accumulate."""
+        table = jnp.zeros((5, 2))
+        ids1, g1 = jnp.asarray([0]), jnp.ones((1, 2))
+        ids2, g2 = jnp.asarray([0]), jnp.ones((1, 2))
+        new, _ = apply_embedding_updates(
+            "sgd", 1.0, {"t": table}, {"t": {}}, {"t": [(ids1, g1), (ids2, g2)]}
+        )
+        np.testing.assert_allclose(np.asarray(new["t"])[0], [-2.0, -2.0])
+
+
+@pytest.mark.parametrize("net_type", ["linear", "mlp", "fm", "neucf"])
+@pytest.mark.parametrize("dynamic", [False, True], ids=["static", "dynamic"])
+def test_training_reduces_loss(net_type, dynamic):
+    """End-to-end: loss decreases and AUC beats chance on learnable data."""
+    data = make_learnable_interactions()
+    store = prepare_data(data, "user_id", "item_id", dynamic_neg_sampling=dynamic)
+    model = build_model(
+        store.schema,
+        ModelConfig(net_type=net_type, n_factors=16, hidden_layers=(32, 16)),
+    )
+    cfg = TrainConfig(
+        batch_size=256,
+        learning_rate=0.05,
+        dynamic_neg_sampling=dynamic,
+        loss="hinge" if net_type != "fm" else "bpr",  # fm's sigmoid caps hinge
+    )
+    trainer = Trainer(model, cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, losses = trainer.fit(state, store, epochs=8, verbose=False)
+    assert losses[-1] < losses[0]
+    metrics = trainer.evaluate(state, store, verbose=False)
+    assert metrics["auc"] > 0.65, f"auc={metrics['auc']}"
+
+
+def test_training_with_metadata():
+    data = make_learnable_interactions()
+    data["category_ids"] = np.asarray(
+        [[int(i % 4), int(i % 3)] for i in data["item_id"]], dtype=object
+    )
+    store = prepare_data(
+        data, "user_id", "item_id", metadata_id_col=["category_ids"]
+    )
+    model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=16))
+    trainer = Trainer(model, TrainConfig(batch_size=256, learning_rate=0.05))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, losses = trainer.fit(state, store, epochs=5, verbose=False)
+    assert losses[-1] < losses[0]
+    # metadata tables actually moved
+    t0 = build_model(store.schema, ModelConfig(net_type="linear", n_factors=16))
+    p0, _ = t0.init(jax.random.PRNGKey(0))
+    assert not np.allclose(
+        np.asarray(state["tables"]["meta_category_ids"]),
+        np.asarray(p0["tables"]["meta_category_ids"]),
+    )
+
+
+def test_train_step_deterministic():
+    data = make_learnable_interactions(n=1000)
+    store = prepare_data(data, "user_id", "item_id", dynamic_neg_sampling=True)
+    model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=8))
+    trainer = Trainer(model, TrainConfig(batch_size=128, seed=3, dynamic_neg_sampling=True))
+    s1 = trainer.init_state(jax.random.PRNGKey(0))
+    s2 = trainer.init_state(jax.random.PRNGKey(0))
+    s1, l1 = trainer.fit(s1, store, epochs=2, verbose=False)
+    s2, l2 = trainer.fit(s2, store, epochs=2, verbose=False)
+    assert l1 == l2
+    np.testing.assert_array_equal(
+        np.asarray(s1["tables"]["user"]), np.asarray(s2["tables"]["user"])
+    )
+
+
+def test_empty_test_split_guard():
+    """Reference guard at model.py:299."""
+    data = make_learnable_interactions(n=100)
+    store = prepare_data(data, "user_id", "item_id", split_ratio=1.0)
+    model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=8))
+    trainer = Trainer(model, TrainConfig(batch_size=32))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    assert trainer.evaluate(state, store, verbose=False) == {}

@@ -1,0 +1,102 @@
+"""Configuration dataclasses for the framework.
+
+The reference keeps a loose dict ``{num_users, num_items, num_metadata}``
+(reference: torchrecsys/dataset/dataset.py:199-203) and passes everything else
+as constructor kwargs (torchrecsys/model.py:64-76). Here the schema is explicit
+and serializable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DataSchema:
+    """Static shape/vocab information about a dataset.
+
+    Unlike the reference — which uses raw column values directly as embedding
+    rows and silently assumes they are contiguous 0..N-1 ints
+    (torchrecsys/dataset/dataset.py:30-31) — vocabularies here are explicit:
+    ``num_users``/``num_items`` are encoded-vocab sizes and every id has been
+    mapped through an :class:`~torchrecsys_tpu.data.encoder.IdEncoder`.
+
+    ``metadata_vocab_sizes`` holds one vocab size per metadata feature
+    (reference analog: ``num_metadata``, dataset.py:199-203, which conflates
+    all features into one number). ``metadata_width`` is the fixed multi-hot
+    bucket width shared by all features; entries beyond a row's true length
+    are masked out (replacing the reference's ragged ``pad_sequence`` with
+    colliding pad id 0, dataset.py:283).
+    """
+
+    num_users: int
+    num_items: int
+    metadata_names: Tuple[str, ...] = ()
+    metadata_vocab_sizes: Tuple[int, ...] = ()
+    metadata_width: int = 0
+
+    @property
+    def num_metadata_features(self) -> int:
+        return len(self.metadata_names)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "DataSchema":
+        d = dict(d)
+        for k in ("metadata_names", "metadata_vocab_sizes"):
+            if k in d:
+                d[k] = tuple(d[k])
+        return cls(**d)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict())
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Model hyperparameters.
+
+    Mirrors the reference's knobs: ``n_factors`` (model.py:67),
+    ``hidden_layers``/``use_batch_norm`` for the MLP (mlp.py:57,75) — which the
+    reference accepts but never actually forwards from its facade
+    (model.py:144-149; fixed here) — and the FM's output sigmoid
+    (fm.py:99), kept behind a flag for score parity.
+    """
+
+    net_type: str = "linear"  # linear | mlp | fm | neucf | ease
+    n_factors: int = 80
+    hidden_layers: Tuple[int, ...] = (1024, 128)
+    use_batch_norm: bool = True
+    fm_sigmoid: bool = True
+    # NeuCF: GMF+MLP dual towers (reference neu.py is broken/unreachable;
+    # rebuilt working here).
+    neucf_hidden_layers: Tuple[int, ...] = (64, 32)
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # set "bfloat16" for MXU-friendly compute
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop hyperparameters.
+
+    The reference exposes optimizer objects directly (model.py:203); here the
+    dense tower uses optax by name and embedding tables get sparse
+    (gather/scatter) row-wise updates — see torchrecsys_tpu/train/optim.py.
+    """
+
+    batch_size: int = 1024
+    epochs: int = 1
+    learning_rate: float = 1e-2
+    dense_optimizer: str = "adam"
+    embedding_optimizer: str = "rowwise_adagrad"  # rowwise_adagrad | sgd
+    dynamic_neg_sampling: bool = False
+    avoid_collisions: bool = True  # guarantee neg != pos (dataset.py:440-445)
+    margin: float = 1.0  # hinge margin (loss.py:7)
+    loss: str = "hinge"  # hinge | bpr | logistic
+    seed: int = 0
+    drop_remainder: bool = True
+    profile_epochs: int = 0  # jax.profiler trace for first N epochs

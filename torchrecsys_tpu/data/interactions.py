@@ -1,0 +1,149 @@
+"""Device-resident interaction store.
+
+The reference materializes each split as a dict of in-memory int64 torch
+tensors (torchrecsys/dataset/dataset.py:251-305) and slices them with a plain
+Python iterator (``FastDataLoader``, dataset.py:319-458). Here the whole
+training split lives as flat **int32** arrays that are put on device once;
+batching is a reshape, and shuffling is a device-side permutation inside the
+jitted epoch — there is no per-batch host work at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from torchrecsys_tpu.config import DataSchema
+from torchrecsys_tpu.data.encoder import IdEncoder, encode_column
+from torchrecsys_tpu.data.metadata import MetadataTable
+from torchrecsys_tpu.data.sampling import sample_negatives_np
+
+
+@dataclasses.dataclass
+class InteractionStore:
+    """Encoded interactions + metadata + schema for one dataset.
+
+    ``train_users/train_items`` (and the ``test_*`` twins) are contiguous
+    int32 row indices. Static negatives, when present, mirror the reference's
+    build-time ``neg_item`` column (dataset.py:56-64). Metadata travels as an
+    item-indexed table (see :class:`MetadataTable`) instead of being baked
+    per-interaction — one gather per batch replaces the reference's
+    pad_sequence/stack pipeline (dataset.py:283-301).
+    """
+
+    schema: DataSchema
+    user_encoder: IdEncoder
+    item_encoder: IdEncoder
+    metadata: MetadataTable
+    train_users: np.ndarray
+    train_items: np.ndarray
+    test_users: np.ndarray
+    test_items: np.ndarray
+    train_neg_items: Optional[np.ndarray] = None
+    test_neg_items: Optional[np.ndarray] = None
+
+    @property
+    def num_train(self) -> int:
+        return int(self.train_users.shape[0])
+
+    @property
+    def num_test(self) -> int:
+        return int(self.test_users.shape[0])
+
+    def train_arrays(self) -> Dict[str, np.ndarray]:
+        d = {"user_id": self.train_users, "pos_item_id": self.train_items}
+        if self.train_neg_items is not None:
+            d["neg_item_id"] = self.train_neg_items
+        return d
+
+    def test_arrays(self) -> Dict[str, np.ndarray]:
+        d = {"user_id": self.test_users, "pos_item_id": self.test_items}
+        if self.test_neg_items is not None:
+            d["neg_item_id"] = self.test_neg_items
+        return d
+
+
+def prepare_data(
+    dataset: Any,
+    user_id_col: str,
+    item_id_col: str,
+    metadata_id_col: Optional[Sequence[str]] = None,
+    split_ratio: float = 0.8,
+    dynamic_neg_sampling: bool = False,
+    metadata_width: Optional[int] = None,
+    seed: int = 42,
+) -> InteractionStore:
+    """Build an :class:`InteractionStore` from a DataFrame or column dict.
+
+    Reference analog: ``ProcessData.prepare_data``
+    (torchrecsys/dataset/dataset.py:140-249), with its defects fixed:
+    ids are explicitly encoded (no contiguity assumption, dataset.py:30-31),
+    scalar/list/string metadata all parse (dataset.py:193), the split is a
+    seeded permutation (vs sklearn random_state=42 row split,
+    dataset.py:239-244), and static negatives are drawn vectorized.
+
+    When ``dynamic_neg_sampling`` is True, no static negatives are stored —
+    negatives are drawn inside the jitted train step instead (replacing the
+    reference's per-batch Python loop, dataset.py:435-454).
+    """
+    if hasattr(dataset, "columns") and hasattr(dataset, "__getitem__"):
+        columns = {c: np.asarray(dataset[c]) for c in dataset.columns}
+    elif isinstance(dataset, dict):
+        columns = {k: np.asarray(v, dtype=object) if not isinstance(v, np.ndarray) else v for k, v in dataset.items()}
+    else:
+        raise TypeError(f"unsupported dataset type {type(dataset)!r}")
+
+    users_raw = columns[user_id_col]
+    items_raw = columns[item_id_col]
+    if len(users_raw) != len(items_raw):
+        raise ValueError("user and item columns differ in length")
+    n = len(users_raw)
+
+    users, user_encoder = encode_column(users_raw)
+    items, item_encoder = encode_column(items_raw)
+    num_users = user_encoder.vocab_size
+    num_items = item_encoder.vocab_size
+
+    meta_cols = list(metadata_id_col or [])
+    if meta_cols:
+        metadata = MetadataTable.build(
+            items,
+            num_items,
+            {c: columns[c] for c in meta_cols},
+            width=metadata_width,
+        )
+    else:
+        metadata = MetadataTable.empty(num_items)
+
+    schema = DataSchema(
+        num_users=num_users,
+        num_items=num_items,
+        metadata_names=metadata.names,
+        metadata_vocab_sizes=metadata.vocab_sizes,
+        metadata_width=metadata.width,
+    )
+
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_train = int(round(n * split_ratio))
+    tr, te = perm[:n_train], perm[n_train:]
+
+    train_neg = test_neg = None
+    if not dynamic_neg_sampling:
+        train_neg = sample_negatives_np(rng, items[tr], num_items)
+        test_neg = sample_negatives_np(rng, items[te], num_items)
+
+    return InteractionStore(
+        schema=schema,
+        user_encoder=user_encoder,
+        item_encoder=item_encoder,
+        metadata=metadata,
+        train_users=users[tr],
+        train_items=items[tr],
+        test_users=users[te],
+        test_items=items[te],
+        train_neg_items=train_neg,
+        test_neg_items=test_neg,
+    )

@@ -1,0 +1,88 @@
+"""Second-order Factorization Machine over {user, item, metadata...} fields.
+
+Reference: torchrecsys/collaborative/fm.py:60-101 — stack per-field factor
+embeddings ``(B, n_fields, k)``, pairwise term
+``0.5 * sum((sum_f v)^2 - sum_f v^2)`` (fm.py:83-86), plus summed per-field
+linear terms (fm.py:89-97), then a **sigmoid** (fm.py:99).
+
+The sigmoid is a reference quirk (it bounds scores to (0,1) so the margin-1
+hinge loss can never reach zero — SURVEY §2.5); it is kept by default for
+score parity and can be disabled with ``ModelConfig.fm_sigmoid=False``.
+
+Multi-hot metadata: each feature field is the masked **sum** of its active
+ids' factor vectors — the standard FM formulation for multi-hot inputs
+(the reference instead embeds only the first id; SURVEY §2.3 applies to
+fm.py:78 as well).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from torchrecsys_tpu.models.base import (
+    Batch,
+    RecModel,
+    State,
+    TableSpec,
+    masked_sum,
+)
+
+
+class FMModel(RecModel):
+    name = "fm"
+
+    def table_specs(self) -> Dict[str, TableSpec]:
+        k = self.cfg.n_factors
+        s = self.schema
+        specs = {
+            "user": TableSpec(s.num_users, k, "scaled"),
+            "item": TableSpec(s.num_items, k, "scaled"),
+            "linear_user": TableSpec(s.num_users, 1, "scaled"),
+            "linear_item": TableSpec(s.num_items, 1, "scaled"),
+        }
+        for fname, vocab in zip(s.metadata_names, s.metadata_vocab_sizes):
+            specs[f"meta_{fname}"] = TableSpec(max(vocab, 1), k, "scaled")
+            specs[f"linear_meta_{fname}"] = TableSpec(max(vocab, 1), 1, "scaled")
+        return specs
+
+    def init_dense(self, key: jax.Array) -> Any:
+        return {}
+
+    def gathers(self, batch: Batch) -> Dict[str, Tuple[str, jnp.ndarray]]:
+        g = {
+            "user": ("user", batch["user_id"]),
+            "item": ("item", batch["item_id"]),
+            "linear_user": ("linear_user", batch["user_id"]),
+            "linear_item": ("linear_item", batch["item_id"]),
+        }
+        g.update(self._meta_gathers(batch))
+        for f, fname in enumerate(self.schema.metadata_names[: self._meta_features(batch)]):
+            g[f"linear_meta:{fname}"] = (f"linear_meta_{fname}", batch["meta_ids"][:, f, :])
+        return g
+
+    def score_rows(
+        self,
+        dense: Any,
+        state: State,
+        rows: Dict[str, jnp.ndarray],
+        batch: Batch,
+        train: bool,
+    ) -> Tuple[jnp.ndarray, State]:
+        cd = self.compute_dtype
+        fields = [rows["user"].astype(cd), rows["item"].astype(cd)]
+        linear = rows["linear_user"][:, 0].astype(cd) + rows["linear_item"][:, 0].astype(cd)
+        for f, fname in enumerate(self.schema.metadata_names[: self._meta_features(batch)]):
+            mask = batch["meta_mask"][:, f, :]
+            fields.append(masked_sum(rows[f"meta:{fname}"].astype(cd), mask))
+            linear = linear + masked_sum(rows[f"linear_meta:{fname}"].astype(cd), mask)[:, 0]
+        v = jnp.stack(fields, axis=1)  # (B, n_fields, k)
+        sum_v = jnp.sum(v, axis=1)
+        sum_v2 = jnp.sum(v * v, axis=1)
+        pairwise = 0.5 * jnp.sum(sum_v * sum_v - sum_v2, axis=-1)  # fm.py:83-86
+        score = pairwise + linear
+        if self.cfg.fm_sigmoid:
+            score = jax.nn.sigmoid(score)  # fm.py:99
+        return score.astype(jnp.float32), state

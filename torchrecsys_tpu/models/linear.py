@@ -1,0 +1,74 @@
+"""LightFM-style linear factorization model.
+
+Score math parity with the reference (torchrecsys/collaborative/linear.py:54-79):
+``score = <u, i + sum_f m_f> + b_u + b_i``, where metadata embeddings are
+added into the item embedding (linear.py:74-75).
+
+One deliberate fix: the reference embeds only the FIRST id of each metadata
+list (``metadata[:, 0]``; linear.py:75 — SURVEY §2.3) and crashes with >= 2
+metadata columns. Here each feature contributes the masked **sum** of all of
+its ids' embeddings, for any number of features.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from torchrecsys_tpu.models.base import (
+    Batch,
+    RecModel,
+    State,
+    TableSpec,
+    masked_sum,
+)
+
+
+class LinearModel(RecModel):
+    name = "linear"
+
+    def table_specs(self) -> Dict[str, TableSpec]:
+        d = self.cfg.n_factors
+        s = self.schema
+        specs = {
+            "user": TableSpec(s.num_users, d, "scaled"),
+            "item": TableSpec(s.num_items, d, "scaled"),
+            "user_bias": TableSpec(s.num_users, 1, "zero"),
+            "item_bias": TableSpec(s.num_items, 1, "zero"),
+        }
+        for fname, vocab in zip(s.metadata_names, s.metadata_vocab_sizes):
+            specs[f"meta_{fname}"] = TableSpec(max(vocab, 1), d, "scaled")
+        return specs
+
+    def init_dense(self, key: jax.Array) -> Any:
+        return {}
+
+    def gathers(self, batch: Batch) -> Dict[str, Tuple[str, jnp.ndarray]]:
+        g = {
+            "user": ("user", batch["user_id"]),
+            "item": ("item", batch["item_id"]),
+            "user_bias": ("user_bias", batch["user_id"]),
+            "item_bias": ("item_bias", batch["item_id"]),
+        }
+        g.update(self._meta_gathers(batch))
+        return g
+
+    def score_rows(
+        self,
+        dense: Any,
+        state: State,
+        rows: Dict[str, jnp.ndarray],
+        batch: Batch,
+        train: bool,
+    ) -> Tuple[jnp.ndarray, State]:
+        cd = self.compute_dtype
+        u = rows["user"].astype(cd)
+        i = rows["item"].astype(cd)
+        for f, fname in enumerate(self.schema.metadata_names[: self._meta_features(batch)]):
+            m = rows[f"meta:{fname}"].astype(cd)  # (B, W, D)
+            i = i + masked_sum(m, batch["meta_mask"][:, f, :])
+        dot = jnp.sum(u * i, axis=-1)
+        score = dot + rows["user_bias"][:, 0].astype(cd) + rows["item_bias"][:, 0].astype(cd)
+        return score.astype(jnp.float32), state

@@ -1,0 +1,11 @@
+from torchrecsys_tpu.train.losses import LOSS_REGISTRY, bpr_loss, hinge_loss, logistic_loss
+from torchrecsys_tpu.train.trainer import Trainer, TrainState
+
+__all__ = [
+    "LOSS_REGISTRY",
+    "hinge_loss",
+    "bpr_loss",
+    "logistic_loss",
+    "Trainer",
+    "TrainState",
+]

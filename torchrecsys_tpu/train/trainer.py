@@ -1,0 +1,294 @@
+"""Fused, jitted training loop.
+
+Reference analog: ``TorchRecSys.fit`` (torchrecsys/model.py:203-289) — a host
+Python loop that per batch slices tensors, moves them to device, runs two
+forwards, a hinge loss, and an optimizer step, then syncs the loss back
+(``loss.item()``, model.py:200). Here the **entire epoch** is one XLA
+computation: a device-side shuffle (``jax.random.permutation``), a
+``lax.scan`` over batches, and a fused train step that samples negatives,
+gathers embedding rows, scores both sides, computes the loss, and applies
+sparse scatter updates — with zero host round-trips and donated state buffers.
+
+Sharding: when a ``jax.sharding.Mesh`` with axes ``('data', 'model')`` is
+provided, embedding tables are row-sharded over ``'model'`` and the batch is
+sharded over ``'data'``; XLA/GSPMD inserts the collectives (gather of remote
+rows, psum of dense grads and batch-norm statistics). See
+torchrecsys_tpu/parallel/.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchrecsys_tpu.config import TrainConfig
+from torchrecsys_tpu.data.interactions import InteractionStore
+from torchrecsys_tpu.data.sampling import sample_negatives
+from torchrecsys_tpu.models.base import Batch, RecModel
+from torchrecsys_tpu.train.losses import LOSS_REGISTRY
+from torchrecsys_tpu.train.optim import (
+    apply_embedding_updates,
+    init_embedding_opt,
+    make_dense_optimizer,
+)
+
+TrainState = Dict[str, Any]
+
+
+class Trainer:
+    """Owns the jitted step/epoch functions for one model + config."""
+
+    def __init__(
+        self,
+        model: RecModel,
+        cfg: TrainConfig,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> None:
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh
+        self.loss_fn = LOSS_REGISTRY[cfg.loss]
+        self.dense_tx = make_dense_optimizer(cfg.dense_optimizer, cfg.learning_rate)
+        self._epoch_jit = jax.jit(self._epoch_fn, donate_argnums=(0,))
+        self._eval_jit = jax.jit(self._eval_fn)
+
+    # ------------------------------------------------------------------
+    def init_state(self, key: jax.Array) -> TrainState:
+        params, model_state = self.model.init(key)
+        state = {
+            "tables": params["tables"],
+            "dense": params["dense"],
+            "model_state": model_state,
+            "emb_opt": init_embedding_opt(self.cfg.embedding_optimizer, params["tables"]),
+            "dense_opt": self.dense_tx.init(params["dense"]),
+            "step": jnp.zeros((), jnp.int32),
+            "rng": jax.random.PRNGKey(self.cfg.seed),
+        }
+        if self.mesh is not None:
+            from torchrecsys_tpu.parallel.sharding import shard_state
+
+            state = shard_state(state, self.mesh)
+        return state
+
+    # ------------------------------------------------------------------
+    def _paired_side(
+        self,
+        user: jnp.ndarray,
+        pos: jnp.ndarray,
+        neg: jnp.ndarray,
+        meta_ids_t: Optional[jnp.ndarray],
+        meta_mask_t: Optional[jnp.ndarray],
+    ) -> Batch:
+        """Concatenate the positive and negative halves into ONE batch side.
+
+        The reference runs two separate forwards (model.py:171-185), which
+        with batch-norm lets each half normalize by its own statistics — the
+        net can then separate pos from neg via the normalization itself, and
+        eval (running stats) collapses. One fused forward over ``2B`` rows
+        gives both halves identical statistics, halves the kernel count, and
+        merges the embedding gathers. Documented divergence from torch's
+        two-call semantics.
+        """
+        side: Batch = {
+            "user_id": jnp.concatenate([user, user]),
+            "item_id": jnp.concatenate([pos, neg]),
+        }
+        if meta_ids_t is not None and meta_ids_t.shape[1] > 0:
+            side["meta_ids"] = meta_ids_t[side["item_id"]]
+            side["meta_mask"] = meta_mask_t[side["item_id"]]
+        return side
+
+    def train_step(
+        self,
+        state: TrainState,
+        batch: Dict[str, jnp.ndarray],
+        meta_ids_t: Optional[jnp.ndarray],
+        meta_mask_t: Optional[jnp.ndarray],
+    ) -> Tuple[TrainState, jnp.ndarray]:
+        """One fused step: sample -> gather -> score pos|neg -> loss ->
+        sparse/dense updates. Pure; shared by the epoch scan and tests."""
+        model, cfg = self.model, self.cfg
+        user = batch["user_id"]
+        pos = batch["pos_item_id"]
+        b = pos.shape[0]
+        if "neg_item_id" in batch:
+            neg = batch["neg_item_id"]  # static negatives (dataset.py:56-64)
+        else:
+            k_neg = jax.random.fold_in(state["rng"], state["step"])
+            neg = sample_negatives(
+                k_neg, pos, model.schema.num_items, cfg.avoid_collisions
+            )
+        side = self._paired_side(user, pos, neg, meta_ids_t, meta_mask_t)
+
+        gmap = model.gathers(side)
+        tables = state["tables"]
+        rows = {
+            k: jnp.take(tables[t], ids, axis=0) for k, (t, ids) in gmap.items()
+        }
+
+        def loss_from(rows_, dense_):
+            scores, st = model.score_rows(
+                dense_, state["model_state"], rows_, side, train=True
+            )
+            return self.loss_fn(scores[:b], scores[b:], cfg.margin), st
+
+        (loss, new_model_state), (g_rows, g_dense) = jax.value_and_grad(
+            loss_from, argnums=(0, 1), has_aux=True
+        )(rows, state["dense"])
+
+        per_table: Dict[str, List[Tuple[jnp.ndarray, jnp.ndarray]]] = {}
+        for k, (tname, ids) in gmap.items():
+            per_table.setdefault(tname, []).append((ids, g_rows[k]))
+        new_tables, new_emb_opt = apply_embedding_updates(
+            cfg.embedding_optimizer,
+            cfg.learning_rate,
+            tables,
+            state["emb_opt"],
+            per_table,
+        )
+        updates, new_dense_opt = self.dense_tx.update(
+            g_dense, state["dense_opt"], state["dense"]
+        )
+        new_dense = jax.tree.map(lambda p, u: p + u, state["dense"], updates)
+
+        new_state = {
+            "tables": new_tables,
+            "dense": new_dense,
+            "model_state": new_model_state,
+            "emb_opt": new_emb_opt,
+            "dense_opt": new_dense_opt,
+            "step": state["step"] + 1,
+            "rng": state["rng"],
+        }
+        return new_state, loss
+
+    # ------------------------------------------------------------------
+    def _epoch_fn(
+        self,
+        state: TrainState,
+        data: Dict[str, jnp.ndarray],
+        meta_ids_t: Optional[jnp.ndarray],
+        meta_mask_t: Optional[jnp.ndarray],
+    ) -> Tuple[TrainState, jnp.ndarray]:
+        """One epoch = shuffle + scan(train_step). Entirely on device."""
+        n = data["user_id"].shape[0]
+        # clamp so datasets smaller than one batch still train (one full-set
+        # batch) — the reference's loader likewise yields short batches
+        b = min(self.cfg.batch_size, n)
+        nb = n // b
+        rng, k_shuffle = jax.random.split(state["rng"])
+        state = dict(state, rng=rng)
+        perm = jax.random.permutation(k_shuffle, n)[: nb * b]
+        batches = {
+            k: jnp.take(v, perm, axis=0).reshape((nb, b) + v.shape[1:])
+            for k, v in data.items()
+        }
+
+        def body(st, batch):
+            st, loss = self.train_step(st, batch, meta_ids_t, meta_mask_t)
+            return st, loss
+
+        state, losses = jax.lax.scan(body, state, batches)
+        return state, jnp.mean(losses)
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        state: TrainState,
+        store: InteractionStore,
+        epochs: Optional[int] = None,
+        verbose: bool = True,
+        profile_dir: str = "/tmp/torchrecsys_tpu_trace",
+    ) -> Tuple[TrainState, List[float]]:
+        """Host loop over jitted epochs. Mirrors fit's reporting
+        (per-epoch avg loss print, torchrecsys/model.py:288) and its
+        ``profile_epochs`` profiler hook (model.py:237-251) via jax.profiler."""
+        epochs = self.cfg.epochs if epochs is None else epochs
+        data = {k: jnp.asarray(v) for k, v in store.train_arrays().items()}
+        meta_ids_t, meta_mask_t = self._meta_tables(store)
+        losses: List[float] = []
+        for epoch in range(epochs):
+            profiling = epoch < self.cfg.profile_epochs
+            if profiling:
+                jax.profiler.start_trace(profile_dir)
+            t0 = time.perf_counter()
+            state, loss = self._epoch_jit(state, data, meta_ids_t, meta_mask_t)
+            loss = float(loss)
+            if profiling:
+                jax.block_until_ready(state["tables"])
+                jax.profiler.stop_trace()
+            losses.append(loss)
+            if verbose:
+                dt = time.perf_counter() - t0
+                print(f"epoch {epoch}: loss={loss:.5f} ({dt:.2f}s)")
+        return state, losses
+
+    def _meta_tables(
+        self, store: InteractionStore
+    ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+        if store.metadata.num_features == 0:
+            return None, None
+        return jnp.asarray(store.metadata.ids), jnp.asarray(store.metadata.mask)
+
+    # ------------------------------------------------------------------
+    def _eval_fn(
+        self,
+        state: TrainState,
+        data: Dict[str, jnp.ndarray],
+        valid: jnp.ndarray,
+        meta_ids_t: Optional[jnp.ndarray],
+        meta_mask_t: Optional[jnp.ndarray],
+    ) -> Dict[str, jnp.ndarray]:
+        """Batched eval: mean pairwise loss + pairwise AUC over valid rows.
+
+        Reference: TorchRecSys.evaluate (model.py:292-338) with
+        Metrics.auc_score = mean(pos > neg) (evaluate/metrics.py:23-31)."""
+        user, pos = data["user_id"], data["pos_item_id"]
+        b = pos.shape[0]
+        if "neg_item_id" in data:
+            neg = data["neg_item_id"]
+        else:
+            k = jax.random.fold_in(state["rng"], 0x5EED)
+            neg = sample_negatives(
+                k, pos, self.model.schema.num_items, self.cfg.avoid_collisions
+            )
+        side = self._paired_side(user, pos, neg, meta_ids_t, meta_mask_t)
+        params = {"tables": state["tables"], "dense": state["dense"]}
+        scores, _ = self.model.score(params, state["model_state"], side, train=False)
+        pos_scores, neg_scores = scores[:b], scores[b:]
+        w = valid.astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(w), 1.0)
+        per_row = jnp.maximum(neg_scores - pos_scores + self.cfg.margin, 0.0)
+        return {
+            "loss": jnp.sum(per_row * w) / n,
+            "auc": jnp.sum((pos_scores > neg_scores).astype(jnp.float32) * w) / n,
+        }
+
+    def evaluate(
+        self,
+        state: TrainState,
+        store: InteractionStore,
+        batch_size: Optional[int] = None,
+        verbose: bool = True,
+    ) -> Dict[str, float]:
+        if store.num_test == 0:
+            # reference guard: model.py:299
+            if verbose:
+                print("evaluate: empty test split")
+            return {}
+        del batch_size  # the whole split is evaluated in one fused call
+        data = {k: jnp.asarray(v) for k, v in store.test_arrays().items()}
+        valid = jnp.ones((store.num_test,), bool)
+        meta_ids_t, meta_mask_t = self._meta_tables(store)
+        out = self._eval_jit(state, data, valid, meta_ids_t, meta_mask_t)
+        result = {k: float(v) for k, v in out.items()}
+        if verbose:
+            print(
+                f"eval: loss={result['loss']:.5f} auc={result['auc']:.5f}"
+            )
+        return result
