@@ -1,0 +1,87 @@
+"""Pallas kernel tests (interpret mode on CPU) against pure-XLA references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchrecsys_tpu.config import DataSchema, ModelConfig
+from torchrecsys_tpu.eval.predict import _fused_catalog_topk, full_catalog_topk
+from torchrecsys_tpu.models import build_model
+from torchrecsys_tpu.ops.dot_topk import dot_topk_pallas, dot_topk_xla
+
+
+def _rand(u, n, d, seed=0):
+    r = np.random.default_rng(seed)
+    # distinct scores (no ties) so top-k id comparison is exact
+    uv = jnp.asarray(r.normal(size=(u, d)), jnp.float32)
+    iv = jnp.asarray(r.normal(size=(n, d)), jnp.float32)
+    ib = jnp.asarray(r.normal(size=(n,)), jnp.float32)
+    return uv, iv, ib
+
+
+@pytest.mark.parametrize(
+    "u,n,d,k",
+    [
+        (1, 100, 16, 10),  # single user, unaligned everything
+        (5, 1000, 80, 10),  # n_factors=80 (reference default)
+        (8, 513, 128, 7),  # just past a tile boundary
+        (130, 2048, 64, 32),  # multiple user tiles
+    ],
+)
+def test_dot_topk_pallas_matches_xla(u, n, d, k):
+    uv, iv, ib = _rand(u, n, d, seed=u + n)
+    ref_v, ref_i = dot_topk_xla(uv, iv, ib, k)
+    v, i = dot_topk_pallas(uv, iv, ib, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v), rtol=1e-5, atol=1e-5)
+
+
+def test_dot_topk_k_exceeds_catalog():
+    uv, iv, ib = _rand(2, 20, 8)
+    v, i = dot_topk_pallas(uv, iv, ib, 50, interpret=True)
+    assert v.shape == (2, 20)
+    assert sorted(np.asarray(i)[0].tolist()) == list(range(20))
+
+
+def test_dot_topk_padding_never_wins():
+    # catalog of 3 items, huge negative scores: padded items must not appear
+    uv = jnp.ones((1, 4), jnp.float32)
+    iv = -jnp.ones((3, 4), jnp.float32) * 100
+    ib = jnp.zeros((3,), jnp.float32)
+    v, i = dot_topk_pallas(uv, iv, ib, 3, interpret=True)
+    assert set(np.asarray(i)[0].tolist()) == {0, 1, 2}
+
+
+SCHEMA_META = DataSchema(
+    num_users=40,
+    num_items=73,
+    metadata_names=("cat",),
+    metadata_vocab_sizes=(6,),
+    metadata_width=2,
+)
+
+
+@pytest.mark.parametrize("net_type", ["linear", "fm"])
+@pytest.mark.parametrize("with_meta", [False, True], ids=["plain", "meta"])
+def test_fused_catalog_topk_matches_generic(net_type, with_meta):
+    """The algebraic linearization (dot factorization) must reproduce the
+    generic chunked scorer exactly — same ids, same scores."""
+    schema = SCHEMA_META if with_meta else DataSchema(num_users=40, num_items=73)
+    model = build_model(schema, ModelConfig(net_type=net_type, n_factors=16))
+    params, state = model.init(jax.random.PRNGKey(2))
+    meta_ids = meta_mask = None
+    if with_meta:
+        r = np.random.default_rng(0)
+        meta_ids = jnp.asarray(r.integers(0, 6, (73, 1, 2)), jnp.int32)
+        meta_mask = jnp.asarray(r.integers(0, 2, (73, 1, 2)) > 0)
+    users = jnp.asarray([0, 7, 39], jnp.int32)
+    v_ref, i_ref = full_catalog_topk(
+        model, params, state, users, schema.num_items, meta_ids, meta_mask,
+        top_k=10, chunk_size=16,
+    )
+    v, i = _fused_catalog_topk(
+        model, params, users, schema.num_items, meta_ids, meta_mask, 10
+    )
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=2e-5, atol=2e-6)

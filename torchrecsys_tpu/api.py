@@ -30,7 +30,7 @@ import numpy as np
 
 from torchrecsys_tpu.config import ModelConfig, TrainConfig
 from torchrecsys_tpu.data.interactions import InteractionStore, prepare_data
-from torchrecsys_tpu.eval.predict import full_catalog_topk
+from torchrecsys_tpu.eval.predict import catalog_topk
 from torchrecsys_tpu.models import build_model
 from torchrecsys_tpu.train.trainer import Trainer
 
@@ -182,7 +182,7 @@ class RecSys:
         )
         meta_ids_t, meta_mask_t = self.trainer._meta_tables(self.store)
         params = {"tables": self.state["tables"], "dense": self.state["dense"]}
-        _, ids = full_catalog_topk(
+        _, ids = catalog_topk(
             self.model,
             params,
             self.state["model_state"],

@@ -4,7 +4,7 @@ from torchrecsys_tpu.eval.metrics import (
     precision_recall_at_k,
     recall_at_k,
 )
-from torchrecsys_tpu.eval.predict import full_catalog_topk
+from torchrecsys_tpu.eval.predict import catalog_topk, full_catalog_topk
 
 __all__ = [
     "pairwise_auc",
@@ -12,4 +12,5 @@ __all__ = [
     "recall_at_k",
     "precision_recall_at_k",
     "full_catalog_topk",
+    "catalog_topk",
 ]

@@ -101,6 +101,57 @@ def full_catalog_topk(
     return scores, ids
 
 
+@partial(jax.jit, static_argnames=("model", "num_items", "top_k"))
+def _fused_catalog_topk(
+    model: RecModel,
+    params: Params,
+    user_ids: jnp.ndarray,
+    num_items: int,
+    meta_ids_t: Optional[jnp.ndarray],
+    meta_mask_t: Optional[jnp.ndarray],
+    top_k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    from torchrecsys_tpu.ops.dot_topk import dot_topk
+
+    lin = model.linearized_catalog(params["tables"], meta_ids_t, meta_mask_t)
+    item_vecs, item_bias, user_fn, transform = lin
+    user_vecs, user_const = user_fn(params["tables"], user_ids)
+    raw, ids = dot_topk(user_vecs, item_vecs, item_bias, min(top_k, num_items))
+    return transform(raw, user_const), ids
+
+
+def catalog_topk(
+    model: RecModel,
+    params: Params,
+    state: State,
+    user_ids: jnp.ndarray,
+    num_items: int,
+    meta_ids_t: Optional[jnp.ndarray] = None,
+    meta_mask_t: Optional[jnp.ndarray] = None,
+    top_k: int = 10,
+    chunk_size: int = 4096,
+    use_fused: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-catalog top-k with automatic kernel dispatch: dot-factorizable
+    models (Linear, FM) use the fused Pallas score+top-k kernel; the rest
+    use the generic chunked running-merge path."""
+    if use_fused and model.supports_linearized_catalog:
+        return _fused_catalog_topk(
+            model, params, user_ids, num_items, meta_ids_t, meta_mask_t, top_k
+        )
+    return full_catalog_topk(
+        model,
+        params,
+        state,
+        user_ids,
+        num_items,
+        meta_ids_t,
+        meta_mask_t,
+        top_k=top_k,
+        chunk_size=chunk_size,
+    )
+
+
 def full_catalog_scores(
     model: RecModel,
     params: Params,

@@ -147,6 +147,45 @@ class RecModel(abc.ABC):
         rows = self.gather_rows(params["tables"], batch)
         return self.score_rows(params["dense"], state, rows, batch, train)
 
+    # True on models whose linearized_catalog returns a factorization
+    supports_linearized_catalog: bool = False
+
+    def linearized_catalog(
+        self,
+        tables: Dict[str, jnp.ndarray],
+        meta_ids_t: Optional[jnp.ndarray],
+        meta_mask_t: Optional[jnp.ndarray],
+    ):
+        """Optional dot-product factorization of the scoring function.
+
+        Models whose score reduces to ``transform(dot(user_vec, item_vec) +
+        item_bias + user_const)`` with monotonic ``transform`` return
+        ``(item_vecs (N, D), item_bias (N,), user_fn, transform)`` where
+        ``user_fn(tables, user_ids) -> (user_vecs (U, D), user_const (U,))``
+        and ``transform(raw (U, k), user_const) -> scores``. Enables the
+        fused Pallas score+top-k kernel (ops/dot_topk.py) for full-catalog
+        prediction. Models with non-bilinear scoring (MLP, NeuCF) return
+        None and use the generic chunked path.
+        """
+        return None
+
+    def _catalog_meta_sums(
+        self,
+        tables: Dict[str, jnp.ndarray],
+        meta_ids_t: Optional[jnp.ndarray],
+        meta_mask_t: Optional[jnp.ndarray],
+        prefix: str = "meta_",
+    ) -> list:
+        """Per-feature masked sums of metadata embeddings for every item:
+        list of (N, D) arrays, one per metadata feature."""
+        out = []
+        if meta_ids_t is None or meta_ids_t.shape[1] == 0:
+            return out
+        for f, fname in enumerate(self.schema.metadata_names):
+            emb = jnp.take(tables[f"{prefix}{fname}"], meta_ids_t[:, f, :], axis=0)
+            out.append(masked_sum(emb, meta_mask_t[:, f, :]))
+        return out
+
     # ---- helpers --------------------------------------------------------
     def _meta_features(self, batch: Batch) -> int:
         m = batch.get("meta_ids")

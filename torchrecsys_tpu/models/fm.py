@@ -33,6 +33,7 @@ from torchrecsys_tpu.models.base import (
 
 class FMModel(RecModel):
     name = "fm"
+    supports_linearized_catalog = True
 
     def table_specs(self) -> Dict[str, TableSpec]:
         k = self.cfg.n_factors
@@ -86,3 +87,46 @@ class FMModel(RecModel):
         if self.cfg.fm_sigmoid:
             score = jax.nn.sigmoid(score)  # fm.py:99
         return score.astype(jnp.float32), state
+
+    def linearized_catalog(self, tables, meta_ids_t, meta_mask_t):
+        """FM's pairwise term collapses to a dot product per (user, item):
+
+        with item-side composite ``q = v_i + Σ_f v_mf``, the field math
+        (fm.py:83-86) gives ``pairwise = u·q + 0.5(|q|² − |v_i|² − Σ|v_mf|²)``
+        — the second term is a per-item constant. Adding the linear terms
+        (fm.py:89-97) gives ``score = σ(u·q + item_const + w_u)`` — a
+        monotonic transform of a bilinear score, so the fused score+top-k
+        kernel applies.
+        """
+        n = self.schema.num_items
+        i = tables["item"][:n].astype(jnp.float32)
+        q = i
+        sq_sum = jnp.sum(i * i, axis=-1)
+        lin_item = tables["linear_item"][:n, 0].astype(jnp.float32)
+        meta_sums = self._catalog_meta_sums(tables, meta_ids_t, meta_mask_t)
+        for f, msum in enumerate(meta_sums):
+            msum = msum.astype(jnp.float32)
+            q = q + msum
+            sq_sum = sq_sum + jnp.sum(msum * msum, axis=-1)
+        if meta_ids_t is not None and meta_ids_t.shape[1] > 0:
+            for f, fname in enumerate(self.schema.metadata_names):
+                lemb = jnp.take(
+                    tables[f"linear_meta_{fname}"], meta_ids_t[:, f, :], axis=0
+                ).astype(jnp.float32)
+                lin_item = lin_item + masked_sum(lemb, meta_mask_t[:, f, :])[:, 0]
+        item_const = 0.5 * (jnp.sum(q * q, axis=-1) - sq_sum)
+        item_bias = item_const + lin_item
+
+        sigmoid = self.cfg.fm_sigmoid
+
+        def user_fn(tables_, user_ids):
+            return (
+                jnp.take(tables_["user"], user_ids, axis=0).astype(jnp.float32),
+                jnp.take(tables_["linear_user"], user_ids, axis=0)[:, 0].astype(jnp.float32),
+            )
+
+        def transform(raw, user_const):
+            s = raw + user_const[:, None]
+            return jax.nn.sigmoid(s) if sigmoid else s
+
+        return q, item_bias, user_fn, transform

@@ -28,6 +28,7 @@ from torchrecsys_tpu.models.base import (
 
 class LinearModel(RecModel):
     name = "linear"
+    supports_linearized_catalog = True
 
     def table_specs(self) -> Dict[str, TableSpec]:
         d = self.cfg.n_factors
@@ -72,3 +73,23 @@ class LinearModel(RecModel):
         dot = jnp.sum(u * i, axis=-1)
         score = dot + rows["user_bias"][:, 0].astype(cd) + rows["item_bias"][:, 0].astype(cd)
         return score.astype(jnp.float32), state
+
+    def linearized_catalog(self, tables, meta_ids_t, meta_mask_t):
+        """score = <u, i + Σ_f m_f> + b_i + b_u — exactly linear.py:78,
+        factored for the fused score+top-k kernel."""
+        n = self.schema.num_items
+        q = tables["item"][:n].astype(jnp.float32)
+        for msum in self._catalog_meta_sums(tables, meta_ids_t, meta_mask_t):
+            q = q + msum.astype(jnp.float32)
+        item_bias = tables["item_bias"][:n, 0].astype(jnp.float32)
+
+        def user_fn(tables_, user_ids):
+            return (
+                jnp.take(tables_["user"], user_ids, axis=0).astype(jnp.float32),
+                jnp.take(tables_["user_bias"], user_ids, axis=0)[:, 0].astype(jnp.float32),
+            )
+
+        def transform(raw, user_const):
+            return raw + user_const[:, None]
+
+        return q, item_bias, user_fn, transform
