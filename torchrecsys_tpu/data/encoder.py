@@ -75,16 +75,35 @@ class IdEncoder:
 def encode_column(values: Sequence[Any]) -> "tuple[np.ndarray, IdEncoder]":
     """Convenience: build an encoder over ``values`` and encode them.
 
-    Uses a vectorized numpy path when the input is already integer-typed
-    (the common MovieLens-style case), falling back to the generic dict path
-    otherwise.
+    Fast paths, in order: vectorized numpy for integer columns (the common
+    MovieLens-style case); the native C++ string-hash encoder
+    (torchrecsys_tpu/native/ingest.cpp) for string/bytes columns; the generic
+    Python dict path for anything else.
     """
     arr = np.asarray(values)
+    if arr.dtype.kind == "O":
+        sample = next((v for v in arr[: min(len(arr), 16)] if v is not None), None)
+        if isinstance(sample, str):
+            try:
+                arr = arr.astype("U")
+            except (ValueError, TypeError):
+                pass
     if arr.dtype.kind in "iu":
         uniq, inv = np.unique(arr, return_inverse=True)
         enc = IdEncoder()
         enc._to_raw = [int(u) for u in uniq]
         enc._to_index = {int(u): i for i, u in enumerate(uniq)}
         return inv.astype(np.int32), enc
+    if arr.dtype.kind in "US":
+        from torchrecsys_tpu import native
+
+        out = native.encode_strings(arr)
+        if out is not None:
+            codes, first = out
+            raw = arr[first].tolist()
+            enc = IdEncoder()
+            enc._to_raw = raw
+            enc._to_index = {v: i for i, v in enumerate(raw)}
+            return codes, enc
     enc = IdEncoder()
     return enc.encode(list(values)), enc

@@ -67,6 +67,46 @@ def parse_metadata_column(
     return out, enc
 
 
+def _select_cells(cells: Sequence[Any], idx: np.ndarray) -> Any:
+    """cells[idx] preserving the column's dtype for the native fast path."""
+    arr = np.asarray(cells) if not isinstance(cells, np.ndarray) else cells
+    return arr[idx]
+
+
+def _cells_to_lists(cells: Any) -> Tuple[List[List[int]], IdEncoder]:
+    """Parse + encode a batch of metadata cells into id lists.
+
+    Fast path: fixed-width string columns parse in C++
+    (native.parse_int_lists) and encode via vectorized np.unique. Fallback:
+    per-cell Python parse (handles scalars, Python lists, mixed objects).
+    """
+    arr = np.asarray(cells)
+    if arr.dtype.kind == "O":
+        sample = next((v for v in arr[: min(len(arr), 16)] if v is not None), None)
+        if isinstance(sample, str):
+            try:
+                arr = arr.astype("U")
+            except (ValueError, TypeError):
+                pass
+    if arr.dtype.kind in "US":
+        from torchrecsys_tpu import native
+
+        out = native.parse_int_lists(arr)
+        if out is not None:
+            values, offsets = out
+            uniq, inv = np.unique(values, return_inverse=True)
+            enc = IdEncoder()
+            enc._to_raw = [int(u) for u in uniq]
+            enc._to_index = {int(u): i for i, u in enumerate(uniq)}
+            inv = inv.astype(np.int32)
+            lists = [
+                inv[offsets[i] : offsets[i + 1]].tolist()
+                for i in range(len(arr))
+            ]
+            return lists, enc
+    return parse_metadata_column(list(cells))
+
+
 class MetadataTable:
     """Per-item metadata, laid out as dense ``(num_items, F, W)`` buckets.
 
@@ -118,41 +158,35 @@ class MetadataTable:
         """Build the item->metadata map from interaction-aligned columns.
 
         Reference analog: ``item_to_metadata_map`` built via ``iterrows``
-        (dataset.py:217-230). Here the first occurrence of each item defines
-        its metadata (items are assumed to have static side features, as in
-        the reference).
+        (dataset.py:217-230). The first occurrence of each item defines its
+        metadata (items have static side features, as in the reference).
+        Only each item's first row is parsed — O(num_items), not
+        O(num_interactions) — and string columns go through the native C++
+        parser (native/ingest.cpp) instead of ast.literal_eval.
         """
         names = tuple(columns.keys())
-        encoders = tuple(IdEncoder() for _ in names)
-        per_item: List[List[List[int]]] = [
-            [[] for _ in names] for _ in range(num_items)
-        ]
-        seen = np.zeros(num_items, dtype=bool)
-        cols = [columns[n] for n in names]
-        for n_idx, (enc, cells) in enumerate(zip(encoders, cols)):
-            seen[:] = False
-            for row, cell in zip(item_rows, cells):
-                if seen[row]:
-                    continue
-                seen[row] = True
-                raw = parse_metadata_cell(cell)
-                enc.fit(raw)
-                per_item[row][n_idx] = [enc.encode_one(v) for v in raw]
+        # first occurrence of each item in the interaction log
+        uniq_items, first_idx = np.unique(item_rows, return_index=True)
+        per_col: List[Tuple[List[List[int]], IdEncoder]] = []
+        for name in names:
+            cells = _select_cells(columns[name], first_idx)
+            lists, enc = _cells_to_lists(cells)
+            per_col.append((lists, enc))
         max_len = 1
-        for item in per_item:
-            for lst in item:
+        for lists, _ in per_col:
+            for lst in lists:
                 if len(lst) > max_len:
                     max_len = len(lst)
         w = width if width is not None else max_len
         ids = np.zeros((num_items, len(names), w), dtype=np.int32)
         mask = np.zeros((num_items, len(names), w), dtype=bool)
-        for i, item in enumerate(per_item):
-            for f, lst in enumerate(item):
+        for f, (lists, _) in enumerate(per_col):
+            for it, lst in zip(uniq_items, lists):
                 k = min(len(lst), w)
                 if k:
-                    ids[i, f, :k] = lst[:k]
-                    mask[i, f, :k] = True
-        return cls(ids, mask, names, encoders)
+                    ids[it, f, :k] = lst[:k]
+                    mask[it, f, :k] = True
+        return cls(ids, mask, names, tuple(e for _, e in per_col))
 
     def gather(self, item_batch: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """(B,) item rows -> ((B, F, W) ids, (B, F, W) mask)."""
