@@ -1,0 +1,105 @@
+"""Sequence-model (LSTM) tests: history tables, leakage masking, facade."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.conftest import make_interactions
+from torchrecsys_tpu import RecSys
+from torchrecsys_tpu.config import DataSchema, ModelConfig
+from torchrecsys_tpu.data import prepare_data
+from torchrecsys_tpu.models import build_model
+
+
+class TestUserHistory:
+    def test_history_table_contents(self):
+        data = {
+            "user_id": np.asarray([0, 0, 0, 1, 0]),
+            "item_id": np.asarray([5, 3, 7, 2, 9]),
+        }
+        store = prepare_data(data, "user_id", "item_id", split_ratio=1.0, seed=1)
+        ids, mask = store.user_history(3)
+        assert ids.shape == (2, 3)
+        u0 = store.user_encoder.encode_one(0)
+        # user 0 interacted with 4 items; window keeps the LAST 3 in order
+        u0_items = [
+            store.train_items[i]
+            for i in range(store.num_train)
+            if store.train_users[i] == u0
+        ]
+        np.testing.assert_array_equal(ids[u0], u0_items[-3:])
+        assert mask[u0].all()
+
+    def test_history_pads_cold_users(self):
+        data = {"user_id": np.asarray([0, 1]), "item_id": np.asarray([0, 1])}
+        store = prepare_data(data, "user_id", "item_id", split_ratio=0.5, seed=0)
+        ids, mask = store.user_history(4)
+        # the test-split user has no train history -> fully masked
+        assert (mask.sum(axis=1) <= 1).all()
+
+
+class TestLeakageMask:
+    def test_candidate_hidden_from_history(self):
+        """Scoring item X with history [X, Y] must equal scoring with the X
+        occurrences masked out — the candidate can't see itself."""
+        schema = DataSchema(num_users=4, num_items=10)
+        model = build_model(schema, ModelConfig(net_type="lstm", n_factors=8))
+        params, state = model.init(jax.random.PRNGKey(0))
+        base = {
+            "user_id": jnp.asarray([0], jnp.int32),
+            "item_id": jnp.asarray([3], jnp.int32),
+        }
+        with_cand = dict(
+            base,
+            hist_ids=jnp.asarray([[3, 5, 3]], jnp.int32),
+            hist_mask=jnp.asarray([[True, True, True]]),
+        )
+        without_cand = dict(
+            base,
+            hist_ids=jnp.asarray([[0, 5, 0]], jnp.int32),  # 3s replaced by masked slots
+            hist_mask=jnp.asarray([[False, True, False]]),
+        )
+        s1, _ = model.score(params, state, with_cand)
+        s2, _ = model.score(params, state, without_cand)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+    def test_mask_order_invariance_of_padding(self):
+        """Masked steps carry state through: left-padded == right-padded."""
+        schema = DataSchema(num_users=4, num_items=10)
+        model = build_model(schema, ModelConfig(net_type="lstm", n_factors=8))
+        params, state = model.init(jax.random.PRNGKey(1))
+        base = {
+            "user_id": jnp.asarray([0], jnp.int32),
+            "item_id": jnp.asarray([7], jnp.int32),
+        }
+        left = dict(
+            base,
+            hist_ids=jnp.asarray([[0, 4, 5]], jnp.int32),
+            hist_mask=jnp.asarray([[False, True, True]]),
+        )
+        right = dict(
+            base,
+            hist_ids=jnp.asarray([[4, 5, 0]], jnp.int32),
+            hist_mask=jnp.asarray([[True, True, False]]),
+        )
+        s1, _ = model.score(params, state, left)
+        s2, _ = model.score(params, state, right)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_lstm_facade_end_to_end():
+    """net_type='lstm' through RecSys — the reference's crash case
+    (model.py:165-168) is a working model here."""
+    data = make_interactions(n_users=50, n_items=30, n=2000, seed=2)
+    rs = RecSys(data, item_id_col="item_id", net_type="lstm", n_factors=8,
+                history_len=6)
+    losses = rs.fit(epochs=2, batch_size=256, verbose=False)
+    assert np.isfinite(losses).all()
+    metrics = rs.evaluate(verbose=False)
+    assert 0.0 <= metrics["auc"] <= 1.0
+    top = rs.predict(user_id=0, top_k=5)
+    assert top.shape == (5,)
+    # batching invariance holds for the generic path with history features
+    a = rs.predict(user_id=3, top_k=5, prediction_batch_size=7)
+    b = rs.predict(user_id=3, top_k=5, prediction_batch_size=64)
+    np.testing.assert_array_equal(a, b)

@@ -24,6 +24,8 @@ def make_batch(schema, b=16, seed=0):
         "user_id": jnp.asarray(r.integers(0, schema.num_users, b), jnp.int32),
         "item_id": jnp.asarray(r.integers(0, schema.num_items, b), jnp.int32),
     }
+    batch["hist_ids"] = jnp.asarray(r.integers(0, schema.num_items, (b, 4)), jnp.int32)
+    batch["hist_mask"] = jnp.asarray(r.integers(0, 2, (b, 4)) > 0)
     if schema.num_metadata_features:
         f, w = schema.num_metadata_features, schema.metadata_width
         batch["meta_ids"] = jnp.asarray(
@@ -133,7 +135,7 @@ def test_mlp_bn_train_updates_running_stats():
 def test_unknown_net_type_raises():
     """Unlike the reference's AttributeError trap (model.py:162-168)."""
     with pytest.raises(ValueError, match="unknown net_type"):
-        build_model(SCHEMA, ModelConfig(net_type="lstm"))
+        build_model(SCHEMA, ModelConfig(net_type="transformer"))
 
 
 class TestEASE:

@@ -70,18 +70,20 @@ def test_fused_catalog_topk_matches_generic(net_type, with_meta):
     schema = SCHEMA_META if with_meta else DataSchema(num_users=40, num_items=73)
     model = build_model(schema, ModelConfig(net_type=net_type, n_factors=16))
     params, state = model.init(jax.random.PRNGKey(2))
-    meta_ids = meta_mask = None
+    feat = None
     if with_meta:
         r = np.random.default_rng(0)
-        meta_ids = jnp.asarray(r.integers(0, 6, (73, 1, 2)), jnp.int32)
-        meta_mask = jnp.asarray(r.integers(0, 2, (73, 1, 2)) > 0)
+        feat = {
+            "meta_ids": jnp.asarray(r.integers(0, 6, (73, 1, 2)), jnp.int32),
+            "meta_mask": jnp.asarray(r.integers(0, 2, (73, 1, 2)) > 0),
+        }
     users = jnp.asarray([0, 7, 39], jnp.int32)
     v_ref, i_ref = full_catalog_topk(
-        model, params, state, users, schema.num_items, meta_ids, meta_mask,
+        model, params, state, users, schema.num_items, feat,
         top_k=10, chunk_size=16,
     )
     v, i = _fused_catalog_topk(
-        model, params, users, schema.num_items, meta_ids, meta_mask, 10
+        model, params, users, schema.num_items, feat, 10
     )
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=2e-5, atol=2e-6)

@@ -40,7 +40,7 @@ def test_topk_matches_full_sort(linear_setup):
         full_catalog_scores(model, params, state, users, SCHEMA.num_items)
     )
     _, ids = full_catalog_topk(
-        model, params, state, users, SCHEMA.num_items, top_k=5, chunk_size=16
+        model, params, state, users, SCHEMA.num_items, None, top_k=5, chunk_size=16
     )
     expect = np.argsort(-dense, axis=1)[:, :5]
     np.testing.assert_array_equal(np.asarray(ids), expect)
@@ -53,11 +53,11 @@ def test_batching_invariance(linear_setup, chunk):
     model, params, state = linear_setup
     users = jnp.asarray([0, 11], jnp.int32)
     _, ids_ref = full_catalog_topk(
-        model, params, state, users, SCHEMA.num_items, top_k=10,
+        model, params, state, users, SCHEMA.num_items, None, top_k=10,
         chunk_size=SCHEMA.num_items + 1,
     )
     _, ids = full_catalog_topk(
-        model, params, state, users, SCHEMA.num_items, top_k=10, chunk_size=chunk
+        model, params, state, users, SCHEMA.num_items, None, top_k=10, chunk_size=chunk
     )
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
 
@@ -81,14 +81,16 @@ def test_topk_with_metadata():
     model = build_model(schema, ModelConfig(net_type="fm", n_factors=8))
     params, state = model.init(jax.random.PRNGKey(1))
     r = np.random.default_rng(0)
-    meta_ids = jnp.asarray(r.integers(0, 5, (37, 1, 2)), jnp.int32)
-    meta_mask = jnp.asarray(np.ones((37, 1, 2), bool))
+    feat = {
+        "meta_ids": jnp.asarray(r.integers(0, 5, (37, 1, 2)), jnp.int32),
+        "meta_mask": jnp.asarray(np.ones((37, 1, 2), bool)),
+    }
     _, ids = full_catalog_topk(
         model, params, state, jnp.asarray([0], jnp.int32), 37,
-        meta_ids, meta_mask, top_k=5, chunk_size=8,
+        feat, top_k=5, chunk_size=8,
     )
     _, ids_big = full_catalog_topk(
         model, params, state, jnp.asarray([0], jnp.int32), 37,
-        meta_ids, meta_mask, top_k=5, chunk_size=64,
+        feat, top_k=5, chunk_size=64,
     )
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_big))

@@ -64,7 +64,7 @@ def _run_steps(store, mesh, steps=3, net_type="mlp"):
         }
         if mesh is not None:
             batch = jax.device_put(batch, batch_sharding(mesh))
-        state, loss = step(state, batch, None, None)
+        state, loss = step(state, batch, None)
         losses.append(float(loss))
     return state, losses
 

@@ -82,7 +82,7 @@ class TestSparseUpdates:
         np.testing.assert_allclose(np.asarray(new["t"])[0], [-2.0, -2.0])
 
 
-@pytest.mark.parametrize("net_type", ["linear", "mlp", "fm", "neucf"])
+@pytest.mark.parametrize("net_type", ["linear", "mlp", "fm", "neucf", "lstm"])
 @pytest.mark.parametrize("dynamic", [False, True], ids=["static", "dynamic"])
 def test_training_reduces_loss(net_type, dynamic):
     """End-to-end: loss decreases and AUC beats chance on learnable data."""

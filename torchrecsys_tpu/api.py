@@ -55,6 +55,7 @@ class RecSys:
         hidden_layers: Sequence[int] = (1024, 128),
         use_batch_norm: bool = True,
         mesh: Optional[jax.sharding.Mesh] = None,
+        history_len: int = 20,
         seed: int = 0,
     ) -> None:
         del use_cuda
@@ -77,6 +78,7 @@ class RecSys:
             hidden_layers=tuple(hidden_layers),
             use_batch_norm=use_batch_norm,
             compute_dtype="bfloat16" if use_amp else "float32",
+            history_len=history_len,
         )
         self.model = build_model(self.store.schema, self.model_cfg)
         self.dynamic_neg_sampling = dynamic_neg_sampling
@@ -180,7 +182,7 @@ class RecSys:
         rows = np.asarray(
             [self.store.user_encoder.encode_one(u) for u in users_raw], np.int32
         )
-        meta_ids_t, meta_mask_t = self.trainer._meta_tables(self.store)
+        feat = self.trainer.feature_tables(self.store)
         params = {"tables": self.state["tables"], "dense": self.state["dense"]}
         _, ids = catalog_topk(
             self.model,
@@ -188,8 +190,7 @@ class RecSys:
             self.state["model_state"],
             jnp.asarray(rows),
             self.store.schema.num_items,
-            meta_ids_t,
-            meta_mask_t,
+            feat,
             top_k=top_k,
             chunk_size=prediction_batch_size,
         )

@@ -75,6 +75,9 @@ class ModelConfig:
     # NeuCF: GMF+MLP dual towers (reference neu.py is broken/unreachable;
     # rebuilt working here).
     neucf_hidden_layers: Tuple[int, ...] = (64, 32)
+    # LSTM sequence model: length of the per-user history window
+    # (reference's sequence/ package is an empty stub — SURVEY §2.8)
+    history_len: int = 20
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # set "bfloat16" for MXU-friendly compute
 

@@ -64,6 +64,23 @@ class InteractionStore:
             d["neg_item_id"] = self.test_neg_items
         return d
 
+    def user_history(self, length: int) -> "tuple[np.ndarray, np.ndarray]":
+        """(num_users, length) table of each user's last ``length`` train
+        items in interaction order, plus a validity mask. Feeds sequence
+        models (models/lstm.py) the way MetadataTable feeds side features."""
+        n_users = self.schema.num_users
+        hist: list = [[] for _ in range(n_users)]
+        for u, i in zip(self.train_users.tolist(), self.train_items.tolist()):
+            hist[u].append(i)
+        ids = np.zeros((n_users, length), np.int32)
+        mask = np.zeros((n_users, length), bool)
+        for u, h in enumerate(hist):
+            h = h[-length:]
+            if h:
+                ids[u, : len(h)] = h
+                mask[u, : len(h)] = True
+        return ids, mask
+
 
 def prepare_data(
     dataset: Any,

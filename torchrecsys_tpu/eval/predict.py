@@ -12,6 +12,13 @@ chunk) — O(num_items * k) instead of a full sort, no host work, no pandas.
 The chunked merge is exactly equivalent to a full sort's first k entries,
 which is covered by a batching-invariance test mirroring the reference's best
 test (tests/test_model_and_features.py:203-215).
+
+Dispatch: dot-factorizable models (Linear, FM — see
+``RecModel.linearized_catalog``) instead use the fused Pallas score+top-k
+kernel (ops/dot_topk.py) where the score matrix never leaves VMEM.
+
+``feat`` is the side-feature table dict (data/features.py): item metadata
+and/or user history.
 """
 
 from __future__ import annotations
@@ -23,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from torchrecsys_tpu.data.features import Features, attach_features
 from torchrecsys_tpu.models.base import Batch, Params, RecModel, State
 
 
@@ -32,8 +40,7 @@ def _score_chunk(
     state: State,
     user_ids: jnp.ndarray,  # (U,)
     item_ids: jnp.ndarray,  # (C,)
-    meta_ids_t: Optional[jnp.ndarray],
-    meta_mask_t: Optional[jnp.ndarray],
+    feat: Optional[Features],
 ) -> jnp.ndarray:
     """Score the (U x C) user-item cross product -> (U, C)."""
     u = user_ids.shape[0]
@@ -42,9 +49,7 @@ def _score_chunk(
         "user_id": jnp.repeat(user_ids, c),
         "item_id": jnp.tile(item_ids, u),
     }
-    if meta_ids_t is not None and meta_ids_t.shape[1] > 0:
-        side["meta_ids"] = meta_ids_t[side["item_id"]]
-        side["meta_mask"] = meta_mask_t[side["item_id"]]
+    side = attach_features(side, feat)
     scores, _ = model.score(params, state, side, train=False)
     return scores.reshape(u, c)
 
@@ -56,12 +61,11 @@ def full_catalog_topk(
     state: State,
     user_ids: jnp.ndarray,  # (U,) int32
     num_items: int,
-    meta_ids_t: Optional[jnp.ndarray] = None,
-    meta_mask_t: Optional[jnp.ndarray] = None,
+    feat: Optional[Features] = None,
     top_k: int = 10,
     chunk_size: int = 4096,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Top-k items for a batch of users over the full catalog.
+    """Generic chunked top-k (works for every model).
 
     Returns (scores (U, k), item_rows (U, k)), sorted descending — matching
     the reference's descending ``torch.sort`` contract (model.py:443-451).
@@ -85,9 +89,7 @@ def full_catalog_topk(
     def body(carry, xs):
         top_scores, top_ids = carry
         item_chunk, valid_chunk = xs
-        s = _score_chunk(
-            model, params, state, user_ids, item_chunk, meta_ids_t, meta_mask_t
-        )
+        s = _score_chunk(model, params, state, user_ids, item_chunk, feat)
         s = jnp.where(valid_chunk[None, :], s, -jnp.inf)
         cat_scores = jnp.concatenate([top_scores, s], axis=1)
         cat_ids = jnp.concatenate(
@@ -107,13 +109,12 @@ def _fused_catalog_topk(
     params: Params,
     user_ids: jnp.ndarray,
     num_items: int,
-    meta_ids_t: Optional[jnp.ndarray],
-    meta_mask_t: Optional[jnp.ndarray],
+    feat: Optional[Features],
     top_k: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     from torchrecsys_tpu.ops.dot_topk import dot_topk
 
-    lin = model.linearized_catalog(params["tables"], meta_ids_t, meta_mask_t)
+    lin = model.linearized_catalog(params["tables"], feat)
     item_vecs, item_bias, user_fn, transform = lin
     user_vecs, user_const = user_fn(params["tables"], user_ids)
     raw, ids = dot_topk(user_vecs, item_vecs, item_bias, min(top_k, num_items))
@@ -126,27 +127,21 @@ def catalog_topk(
     state: State,
     user_ids: jnp.ndarray,
     num_items: int,
-    meta_ids_t: Optional[jnp.ndarray] = None,
-    meta_mask_t: Optional[jnp.ndarray] = None,
+    feat: Optional[Features] = None,
     top_k: int = 10,
     chunk_size: int = 4096,
     use_fused: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full-catalog top-k with automatic kernel dispatch: dot-factorizable
-    models (Linear, FM) use the fused Pallas score+top-k kernel; the rest
-    use the generic chunked running-merge path."""
+    """Full-catalog top-k with automatic kernel dispatch."""
     if use_fused and model.supports_linearized_catalog:
-        return _fused_catalog_topk(
-            model, params, user_ids, num_items, meta_ids_t, meta_mask_t, top_k
-        )
+        return _fused_catalog_topk(model, params, user_ids, num_items, feat, top_k)
     return full_catalog_topk(
         model,
         params,
         state,
         user_ids,
         num_items,
-        meta_ids_t,
-        meta_mask_t,
+        feat,
         top_k=top_k,
         chunk_size=chunk_size,
     )
@@ -158,8 +153,7 @@ def full_catalog_scores(
     state: State,
     user_ids: jnp.ndarray,
     num_items: int,
-    meta_ids_t: Optional[jnp.ndarray] = None,
-    meta_mask_t: Optional[jnp.ndarray] = None,
+    feat: Optional[Features] = None,
 ) -> jnp.ndarray:
     """Dense (U, num_items) score matrix (for recall@k-style metrics)."""
     return _score_chunk(
@@ -168,6 +162,5 @@ def full_catalog_scores(
         state,
         user_ids,
         jnp.arange(num_items, dtype=jnp.int32),
-        meta_ids_t,
-        meta_mask_t,
+        feat,
     )

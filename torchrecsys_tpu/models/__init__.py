@@ -13,6 +13,7 @@ from torchrecsys_tpu.models.base import Batch, Params, RecModel, State, TableSpe
 from torchrecsys_tpu.models.ease import EASE
 from torchrecsys_tpu.models.fm import FMModel
 from torchrecsys_tpu.models.linear import LinearModel
+from torchrecsys_tpu.models.lstm import LSTMModel
 from torchrecsys_tpu.models.mlp import MLPModel
 from torchrecsys_tpu.models.neucf import NeuCFModel
 
@@ -21,6 +22,7 @@ MODEL_REGISTRY = {
     "mlp": MLPModel,
     "fm": FMModel,
     "neucf": NeuCFModel,
+    "lstm": LSTMModel,
 }
 
 
@@ -47,5 +49,6 @@ __all__ = [
     "MLPModel",
     "FMModel",
     "NeuCFModel",
+    "LSTMModel",
     "EASE",
 ]

@@ -150,12 +150,7 @@ class RecModel(abc.ABC):
     # True on models whose linearized_catalog returns a factorization
     supports_linearized_catalog: bool = False
 
-    def linearized_catalog(
-        self,
-        tables: Dict[str, jnp.ndarray],
-        meta_ids_t: Optional[jnp.ndarray],
-        meta_mask_t: Optional[jnp.ndarray],
-    ):
+    def linearized_catalog(self, tables: Dict[str, jnp.ndarray], feat):
         """Optional dot-product factorization of the scoring function.
 
         Models whose score reduces to ``transform(dot(user_vec, item_vec) +
@@ -172,15 +167,15 @@ class RecModel(abc.ABC):
     def _catalog_meta_sums(
         self,
         tables: Dict[str, jnp.ndarray],
-        meta_ids_t: Optional[jnp.ndarray],
-        meta_mask_t: Optional[jnp.ndarray],
+        feat,
         prefix: str = "meta_",
     ) -> list:
         """Per-feature masked sums of metadata embeddings for every item:
         list of (N, D) arrays, one per metadata feature."""
         out = []
-        if meta_ids_t is None or meta_ids_t.shape[1] == 0:
+        if not feat or "meta_ids" not in feat or feat["meta_ids"].shape[1] == 0:
             return out
+        meta_ids_t, meta_mask_t = feat["meta_ids"], feat["meta_mask"]
         for f, fname in enumerate(self.schema.metadata_names):
             emb = jnp.take(tables[f"{prefix}{fname}"], meta_ids_t[:, f, :], axis=0)
             out.append(masked_sum(emb, meta_mask_t[:, f, :]))

@@ -88,7 +88,7 @@ class FMModel(RecModel):
             score = jax.nn.sigmoid(score)  # fm.py:99
         return score.astype(jnp.float32), state
 
-    def linearized_catalog(self, tables, meta_ids_t, meta_mask_t):
+    def linearized_catalog(self, tables, feat):
         """FM's pairwise term collapses to a dot product per (user, item):
 
         with item-side composite ``q = v_i + Σ_f v_mf``, the field math
@@ -103,17 +103,17 @@ class FMModel(RecModel):
         q = i
         sq_sum = jnp.sum(i * i, axis=-1)
         lin_item = tables["linear_item"][:n, 0].astype(jnp.float32)
-        meta_sums = self._catalog_meta_sums(tables, meta_ids_t, meta_mask_t)
+        meta_sums = self._catalog_meta_sums(tables, feat)
         for f, msum in enumerate(meta_sums):
             msum = msum.astype(jnp.float32)
             q = q + msum
             sq_sum = sq_sum + jnp.sum(msum * msum, axis=-1)
-        if meta_ids_t is not None and meta_ids_t.shape[1] > 0:
+        if feat and "meta_ids" in feat and feat["meta_ids"].shape[1] > 0:
             for f, fname in enumerate(self.schema.metadata_names):
                 lemb = jnp.take(
-                    tables[f"linear_meta_{fname}"], meta_ids_t[:, f, :], axis=0
+                    tables[f"linear_meta_{fname}"], feat["meta_ids"][:, f, :], axis=0
                 ).astype(jnp.float32)
-                lin_item = lin_item + masked_sum(lemb, meta_mask_t[:, f, :])[:, 0]
+                lin_item = lin_item + masked_sum(lemb, feat["meta_mask"][:, f, :])[:, 0]
         item_const = 0.5 * (jnp.sum(q * q, axis=-1) - sq_sum)
         item_bias = item_const + lin_item
 

@@ -74,12 +74,12 @@ class LinearModel(RecModel):
         score = dot + rows["user_bias"][:, 0].astype(cd) + rows["item_bias"][:, 0].astype(cd)
         return score.astype(jnp.float32), state
 
-    def linearized_catalog(self, tables, meta_ids_t, meta_mask_t):
+    def linearized_catalog(self, tables, feat):
         """score = <u, i + Σ_f m_f> + b_i + b_u — exactly linear.py:78,
         factored for the fused score+top-k kernel."""
         n = self.schema.num_items
         q = tables["item"][:n].astype(jnp.float32)
-        for msum in self._catalog_meta_sums(tables, meta_ids_t, meta_mask_t):
+        for msum in self._catalog_meta_sums(tables, feat):
             q = q + msum.astype(jnp.float32)
         item_bias = tables["item_bias"][:n, 0].astype(jnp.float32)
 

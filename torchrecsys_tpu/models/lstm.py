@@ -1,0 +1,120 @@
+"""Sequence recommender (LSTM user-history encoder).
+
+The reference advertises "LSTM (yet to come)" (README.md:14): its
+``sequence/`` package is a 3-line stub (torchrecsys/sequence/test.py:1-3) and
+``net_type='lstm'`` crashes (torchrecsys/model.py:165-168). This is a working
+TPU-native realization of that slot:
+
+- Each user's interaction history (their last ``history_len`` item rows, in
+  interaction order) lives in a device-resident ``(num_users, L)`` table,
+  gathered per batch exactly like item metadata — no ragged tensors, no host
+  work in the hot path.
+- An LSTM (``lax.scan`` over the L steps — compiler-friendly sequential
+  control flow) encodes the history into a user state vector; the score is
+  ``<h_u, item_emb> + b_item``.
+- Leakage control: occurrences of the scored candidate item are masked out
+  of the history before encoding, so a positive can never attend to itself
+  (with a static per-user history table the current positive is necessarily
+  in it).
+
+The history table is supplied via ``Batch['hist_ids']/['hist_mask']``
+(attached by the Trainer from ``InteractionStore`` user histories, the same
+way metadata tables are attached by item id).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from torchrecsys_tpu.models.base import (
+    Batch,
+    RecModel,
+    State,
+    TableSpec,
+    uniform_linear_init,
+)
+
+
+class LSTMModel(RecModel):
+    name = "lstm"
+    needs_history = True
+
+    def table_specs(self) -> Dict[str, TableSpec]:
+        d = self.cfg.n_factors
+        s = self.schema
+        return {
+            "item": TableSpec(s.num_items, d, "scaled"),
+            "item_bias": TableSpec(s.num_items, 1, "zero"),
+        }
+
+    def init_dense(self, key: jax.Array) -> Any:
+        d = self.cfg.n_factors
+        k1, k2 = jax.random.split(key)
+        # one fused kernel for the 4 LSTM gates: [x, h] (2d) -> 4d
+        return {
+            "lstm": uniform_linear_init(k1, 2 * d, 4 * d, self.param_dtype),
+            "proj": uniform_linear_init(k2, d, d, self.param_dtype),
+        }
+
+    def gathers(self, batch: Batch) -> Dict[str, Tuple[str, jnp.ndarray]]:
+        return {
+            "item": ("item", batch["item_id"]),
+            "item_bias": ("item_bias", batch["item_id"]),
+            "hist": ("item", batch["hist_ids"]),  # (B, L) -> (B, L, D)
+        }
+
+    def _encode(
+        self, dense: Any, hist_emb: jnp.ndarray, hist_mask: jnp.ndarray
+    ) -> jnp.ndarray:
+        """(B, L, D) masked history -> (B, D) LSTM final state.
+
+        Masked steps are skipped (state carried through), so left-padded and
+        interleaved masks encode identically to a packed sequence.
+        """
+        cd = self.compute_dtype
+        d = self.cfg.n_factors
+        w = dense["lstm"]["w"].astype(cd)
+        b = dense["lstm"]["b"].astype(cd)
+        bsz = hist_emb.shape[0]
+
+        def step(carry, xs):
+            h, c = carry
+            x, m = xs  # (B, D), (B,)
+            z = jnp.concatenate([x, h], axis=-1) @ w + b
+            i, f, g, o = jnp.split(z, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            m = m[:, None].astype(cd)
+            return (h * (1 - m) + h_new * m, c * (1 - m) + c_new * m), None
+
+        h0 = jnp.zeros((bsz, d), cd)
+        (h, _), _ = jax.lax.scan(
+            step,
+            (h0, h0),
+            (
+                jnp.swapaxes(hist_emb.astype(cd), 0, 1),  # (L, B, D)
+                jnp.swapaxes(hist_mask, 0, 1),  # (L, B)
+            ),
+        )
+        return h @ dense["proj"]["w"].astype(cd) + dense["proj"]["b"].astype(cd)
+
+    def score_rows(
+        self,
+        dense: Any,
+        state: State,
+        rows: Dict[str, jnp.ndarray],
+        batch: Batch,
+        train: bool,
+    ) -> Tuple[jnp.ndarray, State]:
+        cd = self.compute_dtype
+        item = rows["item"].astype(cd)  # (B, D)
+        hist = rows["hist"]  # (B, L, D)
+        mask = batch["hist_mask"]
+        # leakage control: hide the scored candidate from its own history
+        mask = mask & (batch["hist_ids"] != batch["item_id"][:, None])
+        h = self._encode(dense, hist, mask)
+        score = jnp.sum(h * item, axis=-1) + rows["item_bias"][:, 0].astype(cd)
+        return score.astype(jnp.float32), state

@@ -28,6 +28,7 @@ import numpy as np
 
 from torchrecsys_tpu.config import TrainConfig
 from torchrecsys_tpu.data.interactions import InteractionStore
+from torchrecsys_tpu.data.features import attach_features
 from torchrecsys_tpu.data.sampling import sample_negatives
 from torchrecsys_tpu.models.base import Batch, RecModel
 from torchrecsys_tpu.train.losses import LOSS_REGISTRY
@@ -81,8 +82,7 @@ class Trainer:
         user: jnp.ndarray,
         pos: jnp.ndarray,
         neg: jnp.ndarray,
-        meta_ids_t: Optional[jnp.ndarray],
-        meta_mask_t: Optional[jnp.ndarray],
+        feat: Optional[Dict[str, jnp.ndarray]],
     ) -> Batch:
         """Concatenate the positive and negative halves into ONE batch side.
 
@@ -98,17 +98,13 @@ class Trainer:
             "user_id": jnp.concatenate([user, user]),
             "item_id": jnp.concatenate([pos, neg]),
         }
-        if meta_ids_t is not None and meta_ids_t.shape[1] > 0:
-            side["meta_ids"] = meta_ids_t[side["item_id"]]
-            side["meta_mask"] = meta_mask_t[side["item_id"]]
-        return side
+        return attach_features(side, feat)
 
     def train_step(
         self,
         state: TrainState,
         batch: Dict[str, jnp.ndarray],
-        meta_ids_t: Optional[jnp.ndarray],
-        meta_mask_t: Optional[jnp.ndarray],
+        feat: Optional[Dict[str, jnp.ndarray]] = None,
     ) -> Tuple[TrainState, jnp.ndarray]:
         """One fused step: sample -> gather -> score pos|neg -> loss ->
         sparse/dense updates. Pure; shared by the epoch scan and tests."""
@@ -123,7 +119,7 @@ class Trainer:
             neg = sample_negatives(
                 k_neg, pos, model.schema.num_items, cfg.avoid_collisions
             )
-        side = self._paired_side(user, pos, neg, meta_ids_t, meta_mask_t)
+        side = self._paired_side(user, pos, neg, feat)
 
         gmap = model.gathers(side)
         tables = state["tables"]
@@ -172,8 +168,7 @@ class Trainer:
         self,
         state: TrainState,
         data: Dict[str, jnp.ndarray],
-        meta_ids_t: Optional[jnp.ndarray],
-        meta_mask_t: Optional[jnp.ndarray],
+        feat: Optional[Dict[str, jnp.ndarray]],
     ) -> Tuple[TrainState, jnp.ndarray]:
         """One epoch = shuffle + scan(train_step). Entirely on device."""
         n = data["user_id"].shape[0]
@@ -190,7 +185,7 @@ class Trainer:
         }
 
         def body(st, batch):
-            st, loss = self.train_step(st, batch, meta_ids_t, meta_mask_t)
+            st, loss = self.train_step(st, batch, feat)
             return st, loss
 
         state, losses = jax.lax.scan(body, state, batches)
@@ -210,14 +205,14 @@ class Trainer:
         ``profile_epochs`` profiler hook (model.py:237-251) via jax.profiler."""
         epochs = self.cfg.epochs if epochs is None else epochs
         data = {k: jnp.asarray(v) for k, v in store.train_arrays().items()}
-        meta_ids_t, meta_mask_t = self._meta_tables(store)
+        feat = self.feature_tables(store)
         losses: List[float] = []
         for epoch in range(epochs):
             profiling = epoch < self.cfg.profile_epochs
             if profiling:
                 jax.profiler.start_trace(profile_dir)
             t0 = time.perf_counter()
-            state, loss = self._epoch_jit(state, data, meta_ids_t, meta_mask_t)
+            state, loss = self._epoch_jit(state, data, feat)
             loss = float(loss)
             if profiling:
                 jax.block_until_ready(state["tables"])
@@ -228,12 +223,18 @@ class Trainer:
                 print(f"epoch {epoch}: loss={loss:.5f} ({dt:.2f}s)")
         return state, losses
 
-    def _meta_tables(
-        self, store: InteractionStore
-    ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
-        if store.metadata.num_features == 0:
-            return None, None
-        return jnp.asarray(store.metadata.ids), jnp.asarray(store.metadata.mask)
+    def feature_tables(self, store: InteractionStore) -> Dict[str, jnp.ndarray]:
+        """Device-resident side-feature tables for this model: item
+        metadata, plus user history for sequence models (models/lstm.py)."""
+        feat: Dict[str, jnp.ndarray] = {}
+        if store.metadata.num_features > 0:
+            feat["meta_ids"] = jnp.asarray(store.metadata.ids)
+            feat["meta_mask"] = jnp.asarray(store.metadata.mask)
+        if getattr(self.model, "needs_history", False):
+            ids, mask = store.user_history(self.model.cfg.history_len)
+            feat["hist_ids"] = jnp.asarray(ids)
+            feat["hist_mask"] = jnp.asarray(mask)
+        return feat
 
     # ------------------------------------------------------------------
     def _eval_fn(
@@ -241,8 +242,7 @@ class Trainer:
         state: TrainState,
         data: Dict[str, jnp.ndarray],
         valid: jnp.ndarray,
-        meta_ids_t: Optional[jnp.ndarray],
-        meta_mask_t: Optional[jnp.ndarray],
+        feat: Optional[Dict[str, jnp.ndarray]],
     ) -> Dict[str, jnp.ndarray]:
         """Batched eval: mean pairwise loss + pairwise AUC over valid rows.
 
@@ -257,7 +257,7 @@ class Trainer:
             neg = sample_negatives(
                 k, pos, self.model.schema.num_items, self.cfg.avoid_collisions
             )
-        side = self._paired_side(user, pos, neg, meta_ids_t, meta_mask_t)
+        side = self._paired_side(user, pos, neg, feat)
         params = {"tables": state["tables"], "dense": state["dense"]}
         scores, _ = self.model.score(params, state["model_state"], side, train=False)
         pos_scores, neg_scores = scores[:b], scores[b:]
@@ -284,8 +284,8 @@ class Trainer:
         del batch_size  # the whole split is evaluated in one fused call
         data = {k: jnp.asarray(v) for k, v in store.test_arrays().items()}
         valid = jnp.ones((store.num_test,), bool)
-        meta_ids_t, meta_mask_t = self._meta_tables(store)
-        out = self._eval_jit(state, data, valid, meta_ids_t, meta_mask_t)
+        feat = self.feature_tables(store)
+        out = self._eval_jit(state, data, valid, feat)
         result = {k: float(v) for k, v in out.items()}
         if verbose:
             print(
