@@ -64,6 +64,31 @@ class InteractionStore:
             d["neg_item_id"] = self.test_neg_items
         return d
 
+    def write_data(self, path: str) -> None:
+        """Dump dataset stats + item metadata map.
+
+        Reference parity: ``ProcessData.write_data`` writes ``config.json``
+        and ``meta.csv`` (torchrecsys/dataset/dataset.py:307-316; the call is
+        commented out at model.py:98). Here it is a working, reachable API:
+        ``config.json`` carries the full DataSchema, ``meta.csv`` one row per
+        item with its encoded metadata ids.
+        """
+        import csv
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "config.json"), "w") as f:
+            f.write(self.schema.to_json())
+        with open(os.path.join(path, "meta.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["item_row", "raw_item_id", *self.metadata.names])
+            for row in range(self.schema.num_items):
+                lists = [
+                    [int(v) for v, m in zip(self.metadata.ids[row, f], self.metadata.mask[row, f]) if m]
+                    for f in range(self.metadata.num_features)
+                ]
+                w.writerow([row, self.item_encoder.decode_one(row), *lists])
+
     def user_history(self, length: int) -> "tuple[np.ndarray, np.ndarray]":
         """(num_users, length) table of each user's last ``length`` train
         items in interaction order, plus a validity mask. Feeds sequence

@@ -18,6 +18,7 @@ torchrecsys_tpu/parallel/.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import time
 from typing import Any, Dict, List, Optional, Tuple
@@ -37,8 +38,17 @@ from torchrecsys_tpu.train.optim import (
     init_embedding_opt,
     make_dense_optimizer,
 )
+from torchrecsys_tpu.utils.logging import get_logger
+
+log = get_logger("torchrecsys_tpu.train")
+
+from torchrecsys_tpu.utils.profiling import trace as profiling_trace
 
 TrainState = Dict[str, Any]
+
+
+def _null_ctx():
+    return contextlib.nullcontext()
 
 
 class Trainer:
@@ -209,18 +219,16 @@ class Trainer:
         losses: List[float] = []
         for epoch in range(epochs):
             profiling = epoch < self.cfg.profile_epochs
-            if profiling:
-                jax.profiler.start_trace(profile_dir)
+            ctx = profiling_trace(profile_dir) if profiling else _null_ctx()
             t0 = time.perf_counter()
-            state, loss = self._epoch_jit(state, data, feat)
-            loss = float(loss)
-            if profiling:
-                jax.block_until_ready(state["tables"])
-                jax.profiler.stop_trace()
+            with ctx:
+                state, loss = self._epoch_jit(state, data, feat)
+                loss = float(loss)  # blocks; keeps the trace honest
             losses.append(loss)
             if verbose:
                 dt = time.perf_counter() - t0
-                print(f"epoch {epoch}: loss={loss:.5f} ({dt:.2f}s)")
+                # per-epoch reporting, reference model.py:288
+                log.info("epoch %d: loss=%.5f (%.2fs)", epoch, loss, dt)
         return state, losses
 
     def feature_tables(self, store: InteractionStore) -> Dict[str, jnp.ndarray]:
@@ -279,7 +287,7 @@ class Trainer:
         if store.num_test == 0:
             # reference guard: model.py:299
             if verbose:
-                print("evaluate: empty test split")
+                log.info("evaluate: empty test split")
             return {}
         del batch_size  # the whole split is evaluated in one fused call
         data = {k: jnp.asarray(v) for k, v in store.test_arrays().items()}
@@ -288,7 +296,5 @@ class Trainer:
         out = self._eval_jit(state, data, valid, feat)
         result = {k: float(v) for k, v in out.items()}
         if verbose:
-            print(
-                f"eval: loss={result['loss']:.5f} auc={result['auc']:.5f}"
-            )
+            log.info("eval: loss=%.5f auc=%.5f", result["loss"], result["auc"])
         return result
