@@ -39,13 +39,29 @@ def test_profile_epochs_smoke(tmp_path):
     assert found, "no profiler trace artifact written"
 
 
-def test_logging_replaces_prints(capfd):
-    rs = RecSys(make_interactions(n=500), n_factors=8)
-    rs.fit(epochs=1, batch_size=128, verbose=True)
-    out = capfd.readouterr().out
-    assert "[torchrecsys_tpu.train] epoch 0: loss=" in out
-    rs.fit(epochs=1, batch_size=128, verbose=False)
-    assert "epoch 0" not in capfd.readouterr().out
+def test_logging_replaces_prints():
+    import logging
+
+    from torchrecsys_tpu.utils.logging import get_logger
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Capture()
+    logger = get_logger("torchrecsys_tpu.train")
+    logger.addHandler(handler)
+    try:
+        rs = RecSys(make_interactions(n=500), n_factors=8)
+        rs.fit(epochs=1, batch_size=128, verbose=True)
+        assert any(m.startswith("epoch 0: loss=") for m in records)
+        records.clear()
+        rs.fit(epochs=1, batch_size=128, verbose=False)
+        assert not any("epoch" in m for m in records)
+    finally:
+        logger.removeHandler(handler)
 
 
 def test_quickstart_example_runs():
