@@ -1,0 +1,121 @@
+"""North-star workload: MLP two-tower training on 10M interactions.
+
+BASELINE.json target: >=10x examples/s per chip vs the reference CPU path
+(~38K ex/s for MLP [1024,128]+BN) at matched AUC. Synthetic data carries a
+learnable block structure so AUC is meaningful (not the ~0.5 of uniform
+noise); both frameworks see the same distribution, so AUC parity is checked
+against the self-measured convergence of this framework at the reference's
+own 100K-row config (BASELINE.md).
+
+Run: python benchmarks/scale_10m.py  [--n 10000000]
+Prints a JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def structured_interactions(n_users, n_items, n, seed=0):
+    """Block-preference data: user block b prefers item block b (8 blocks,
+    70% on-block) — learnable signal at any scale."""
+    r = np.random.default_rng(seed)
+    blocks = 8
+    users = r.integers(0, n_users, n).astype(np.int64)
+    on_block = r.random(n) < 0.7
+    u_block = users % blocks
+    rand_items = r.integers(0, n_items, n)
+    block_items = (rand_items // blocks) * blocks + u_block
+    items = np.where(on_block, block_items % n_items, rand_items)
+    return {"user_id": users, "item_id": items.astype(np.int64)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000_000)
+    ap.add_argument("--users", type=int, default=1_000_000)
+    ap.add_argument("--items", type=int, default=100_000)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=8192)
+    args = ap.parse_args()
+
+    from torchrecsys_tpu.config import ModelConfig, TrainConfig
+    from torchrecsys_tpu.data import prepare_data
+    from torchrecsys_tpu.models import build_model
+    from torchrecsys_tpu.train import Trainer
+
+    t0 = time.perf_counter()
+    data = structured_interactions(args.users, args.items, args.n)
+    t_gen = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    store = prepare_data(data, "user_id", "item_id", dynamic_neg_sampling=True)
+    t_prep = time.perf_counter() - t0
+
+    model = build_model(
+        store.schema,
+        ModelConfig(
+            net_type="mlp",
+            n_factors=80,
+            hidden_layers=(1024, 128),
+            use_batch_norm=True,
+            compute_dtype="bfloat16",
+        ),
+    )
+    cfg = TrainConfig(
+        batch_size=args.batch,
+        learning_rate=0.02,
+        dynamic_neg_sampling=True,
+        loss="hinge",
+    )
+    trainer = Trainer(model, cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    # warmup epoch (compile)
+    t0 = time.perf_counter()
+    state, warm = trainer.fit(state, store, epochs=1, verbose=False)
+    jax.block_until_ready(state["tables"])
+    t_warm = time.perf_counter() - t0
+
+    nb = store.num_train // cfg.batch_size
+    t0 = time.perf_counter()
+    state, losses = trainer.fit(state, store, epochs=args.epochs, verbose=False)
+    jax.block_until_ready(state["tables"])
+    dt = time.perf_counter() - t0
+    ex_per_sec = args.epochs * nb * cfg.batch_size / dt
+
+    metrics = trainer.evaluate(state, store, verbose=False)
+    print(
+        json.dumps(
+            {
+                "workload": f"mlp_[1024,128]bn_{args.n}_interactions",
+                "examples_per_sec": round(ex_per_sec),
+                "auc": round(metrics["auc"], 4),
+                "final_loss": round(losses[-1], 5),
+                "epochs_timed": args.epochs,
+                "warmup_epoch_s": round(t_warm, 1),
+                "data_gen_s": round(t_gen, 1),
+                "prepare_s": round(t_prep, 1),
+                "vs_reference_38k": round(ex_per_sec / 38_000, 1),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Streaming (super-batch) pipeline tests."""
+
+import jax
+import numpy as np
+import pytest
+
+from tests.conftest import make_interactions
+from torchrecsys_tpu.config import ModelConfig, TrainConfig
+from torchrecsys_tpu.data import prepare_data
+from torchrecsys_tpu.models import build_model
+from torchrecsys_tpu.train import SuperBatchStream, Trainer
+
+
+def test_superbatch_stream_covers_everything_once():
+    arrays = {"x": np.arange(1000, dtype=np.int32)}
+    stream = SuperBatchStream(arrays, superbatch_size=250, seed=0)
+    seen = []
+    for sb in stream.epoch():
+        seen.extend(np.asarray(sb["x"]).tolist())
+    assert sorted(seen) == list(range(1000))
+    # fresh order next epoch
+    order1 = [int(np.asarray(sb["x"])[0]) for sb in stream.epoch()]
+    order2 = [int(np.asarray(sb["x"])[0]) for sb in stream.epoch()]
+    assert order1 != order2 or stream.num_super == 1
+
+
+def test_superbatch_drops_remainder_evenly():
+    arrays = {"x": np.arange(1003, dtype=np.int32)}
+    stream = SuperBatchStream(arrays, superbatch_size=250, seed=0)
+    assert stream.num_super == 4
+    total = sum(sb["x"].shape[0] for sb in stream.epoch())
+    assert total == 1000
+
+
+def test_fit_streaming_learns_like_fit():
+    """Streaming training must reach comparable quality to resident fit."""
+    from tests.test_train import make_learnable_interactions
+
+    data = make_learnable_interactions(n=8000)
+    store = prepare_data(data, "user_id", "item_id", dynamic_neg_sampling=True)
+    model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=16))
+    cfg = TrainConfig(batch_size=256, learning_rate=0.05, dynamic_neg_sampling=True)
+
+    tr = Trainer(model, cfg)
+    s_resident = tr.init_state(jax.random.PRNGKey(0))
+    s_resident, _ = tr.fit(s_resident, store, epochs=6, verbose=False)
+    auc_resident = tr.evaluate(s_resident, store, verbose=False)["auc"]
+
+    tr2 = Trainer(model, cfg)
+    s_stream = tr2.init_state(jax.random.PRNGKey(0))
+    s_stream, losses = tr2.fit_streaming(
+        s_stream, store, superbatch_size=1600, epochs=6, verbose=False
+    )
+    auc_stream = tr2.evaluate(s_stream, store, verbose=False)["auc"]
+    assert losses[-1] < losses[0]
+    assert auc_stream > 0.65
+    assert abs(auc_stream - auc_resident) < 0.1
+
+
+def test_fit_streaming_on_mesh():
+    from tests.test_train import make_learnable_interactions
+    from torchrecsys_tpu.parallel import make_mesh
+
+    data = make_learnable_interactions(n=4000)
+    store = prepare_data(data, "user_id", "item_id", dynamic_neg_sampling=True)
+    model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=8))
+    cfg = TrainConfig(batch_size=256, learning_rate=0.05, dynamic_neg_sampling=True)
+    tr = Trainer(model, cfg, mesh=make_mesh(data=4, model=2))
+    state = tr.init_state(jax.random.PRNGKey(0))
+    state, losses = tr.fit_streaming(state, store, superbatch_size=1024, epochs=2, verbose=False)
+    assert np.isfinite(losses).all()

@@ -1,4 +1,5 @@
 from torchrecsys_tpu.train.losses import LOSS_REGISTRY, bpr_loss, hinge_loss, logistic_loss
+from torchrecsys_tpu.train.streaming import SuperBatchStream, fit_streaming
 from torchrecsys_tpu.train.trainer import Trainer, TrainState
 
 __all__ = [
@@ -8,4 +9,6 @@ __all__ = [
     "logistic_loss",
     "Trainer",
     "TrainState",
+    "SuperBatchStream",
+    "fit_streaming",
 ]

@@ -1,0 +1,115 @@
+"""Host -> HBM double-buffered streaming input pipeline.
+
+The reference materializes the entire training split as in-memory tensors
+(torchrecsys/dataset/dataset.py:251-305) — its ceiling is host RAM and it
+still pays per-batch host slicing. The default Trainer path here keeps the
+whole split device-resident (best when it fits in HBM). This module covers
+the other regime — datasets larger than HBM (BASELINE.json stretch config:
+1B interactions):
+
+- the split is cut into equal-size **super-batches** (host numpy views);
+- super-batch k+1's host->device transfer (``jax.device_put``, asynchronous)
+  is issued while the TPU is still scanning super-batch k — transfer and
+  compute overlap, the device never waits on PCIe/DCN unless the pipeline is
+  transfer-bound;
+- each super-batch runs through the same fused epoch scan (device-side
+  shuffle within the super-batch), and super-batch order is reshuffled per
+  epoch — standard two-level shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from torchrecsys_tpu.utils.logging import get_logger
+
+log = get_logger("torchrecsys_tpu.streaming")
+
+
+class SuperBatchStream:
+    """Iterator over equal-size device-resident super-batches with one-ahead
+    prefetch. ``sharding`` (e.g. batch_sharding(mesh)) places each transfer
+    directly onto the mesh."""
+
+    def __init__(
+        self,
+        arrays: Dict[str, np.ndarray],
+        superbatch_size: int,
+        seed: int = 0,
+        sharding: Optional[jax.sharding.Sharding] = None,
+    ) -> None:
+        self.n = next(iter(arrays.values())).shape[0]
+        if not all(v.shape[0] == self.n for v in arrays.values()):
+            raise ValueError("array lengths differ")
+        self.sb = min(superbatch_size, self.n)
+        self.num_super = self.n // self.sb  # equal-size; remainder dropped
+        self.arrays = arrays
+        self.rng = np.random.default_rng(seed)
+        self.sharding = sharding
+
+    def _put(self, start: int) -> Dict[str, jax.Array]:
+        chunk = {k: v[start : start + self.sb] for k, v in self.arrays.items()}
+        if self.sharding is not None:
+            return {k: jax.device_put(v, self.sharding) for k, v in chunk.items()}
+        return {k: jax.device_put(v) for k, v in chunk.items()}
+
+    def epoch(self) -> Iterator[Dict[str, jax.Array]]:
+        """Yield all super-batches once, in fresh random order, with the
+        next transfer in flight while the caller consumes the current one."""
+        starts = self.rng.permutation(self.num_super) * self.sb
+        pending = self._put(int(starts[0]))
+        for i in range(self.num_super):
+            current = pending
+            if i + 1 < self.num_super:
+                pending = self._put(int(starts[i + 1]))  # async H2D prefetch
+            yield current
+
+
+def fit_streaming(
+    trainer,
+    state,
+    store,
+    superbatch_size: int = 1 << 21,
+    epochs: Optional[int] = None,
+    seed: int = 0,
+    verbose: bool = True,
+) -> Tuple[dict, List[float]]:
+    """Streaming variant of Trainer.fit for splits that exceed HBM.
+
+    Semantics: per epoch, every super-batch is visited once in random order
+    and scanned with the same fused train step (device-side shuffle within
+    the super-batch). Loss reported per epoch as the mean over super-batches.
+    """
+    import time
+
+    epochs = trainer.cfg.epochs if epochs is None else epochs
+    feat = trainer.feature_tables(store)
+    sharding = None
+    if trainer.mesh is not None:
+        from torchrecsys_tpu.parallel.sharding import batch_sharding
+
+        sharding = batch_sharding(trainer.mesh)
+    stream = SuperBatchStream(
+        store.train_arrays(), superbatch_size, seed=seed, sharding=sharding
+    )
+    losses: List[float] = []
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        epoch_losses = []
+        for sb in stream.epoch():
+            state, loss = trainer._epoch_jit(state, sb, feat)
+            epoch_losses.append(loss)
+        mean_loss = float(np.mean([float(l) for l in epoch_losses]))
+        losses.append(mean_loss)
+        if verbose:
+            log.info(
+                "epoch %d: loss=%.5f (%.2fs, %d super-batches)",
+                epoch,
+                mean_loss,
+                time.perf_counter() - t0,
+                stream.num_super,
+            )
+    return state, losses

@@ -231,6 +231,17 @@ class Trainer:
                 log.info("epoch %d: loss=%.5f (%.2fs)", epoch, loss, dt)
         return state, losses
 
+    def fit_streaming(self, state, store, superbatch_size: int = 1 << 21,
+                      epochs=None, seed: int = 0, verbose: bool = True):
+        """Host->HBM double-buffered streaming fit for splits larger than
+        HBM (see train/streaming.py)."""
+        from torchrecsys_tpu.train.streaming import fit_streaming
+
+        return fit_streaming(
+            self, state, store, superbatch_size=superbatch_size,
+            epochs=epochs, seed=seed, verbose=verbose,
+        )
+
     def feature_tables(self, store: InteractionStore) -> Dict[str, jnp.ndarray]:
         """Device-resident side-feature tables for this model: item
         metadata, plus user history for sequence models (models/lstm.py)."""
