@@ -87,3 +87,41 @@ def test_fused_catalog_topk_matches_generic(net_type, with_meta):
     )
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=2e-5, atol=2e-6)
+
+
+class TestFeistelPermutation:
+    """utils/permute.py — the sort-free shuffle used by the epoch scan."""
+
+    def test_is_permutation_many_sizes(self):
+        import jax
+        from torchrecsys_tpu.utils.permute import random_permutation
+
+        for n in (1, 2, 3, 7, 64, 100, 1000, 8192, 100_003):
+            p = np.asarray(random_permutation(jax.random.PRNGKey(0), n))
+            assert p.shape == (n,)
+            np.testing.assert_array_equal(np.sort(p), np.arange(n))
+
+    def test_key_changes_permutation(self):
+        import jax
+        from torchrecsys_tpu.utils.permute import random_permutation
+
+        a = np.asarray(random_permutation(jax.random.PRNGKey(0), 4096))
+        b = np.asarray(random_permutation(jax.random.PRNGKey(1), 4096))
+        assert (a != b).mean() > 0.99
+
+    def test_looks_shuffled(self):
+        """Cheap uniformity checks: mean position displacement and first-half
+        content match random expectations, not identity/affine patterns."""
+        import jax
+        from torchrecsys_tpu.utils.permute import random_permutation
+
+        n = 100_000
+        p = np.asarray(random_permutation(jax.random.PRNGKey(7), n)).astype(np.int64)
+        # fraction of first half that stayed in the first half -> ~0.5
+        frac = (p[: n // 2] < n // 2).mean()
+        assert 0.45 < frac < 0.55, frac
+        # mean |displacement| of a uniform permutation -> n/3
+        disp = np.abs(p - np.arange(n)).mean()
+        assert 0.28 * n < disp < 0.38 * n, disp
+        # no fixed stride (affine) structure: successive differences vary
+        assert len(np.unique(np.diff(p[:1000]))) > 900

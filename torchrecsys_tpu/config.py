@@ -103,3 +103,12 @@ class TrainConfig:
     seed: int = 0
     drop_remainder: bool = True
     profile_epochs: int = 0  # jax.profiler trace for first N epochs
+    # Epoch-internal "augmented table" layout for rowwise_adagrad: the per-row
+    # accumulator is carried as an extra trailing column of each (f32) table so
+    # it rides the existing row gather/scatter instead of 1D scalar
+    # scatter/gather ops (which are ~60x slower per element on TPU; an
+    # (R, 80) f32 table is physically tiled T(8,128), so the extra column is
+    # free HBM bandwidth). Within-batch duplicate rows then scale by
+    # acc_old + own msq rather than the post-all-duplicates accumulator; the
+    # accumulator contents themselves stay exact. See train/optim.py.
+    fused_embedding_update: bool = True

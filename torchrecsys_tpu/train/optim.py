@@ -86,6 +86,89 @@ def apply_embedding_updates(
     return new_tables, new_state
 
 
+# ---------------------------------------------------------------------------
+# Fused "augmented table" layout (TrainConfig.fused_embedding_update).
+#
+# Motivation (measured on TPU v5e, B=32768 MLP step): the rowwise-adagrad
+# accumulator ops above — a 1D scatter-add into acc (R,), then a 1D gather of
+# acc[ids] — cost ~0.9 ms per table per step, ~60x more per element than the
+# 2D row scatter, because XLA lowers 1D scalar scatter/gather element-at-a-
+# time. Meanwhile an (R, D) f32 table with D <= 128 is physically tiled
+# T(8,128): columns D..127 are already-allocated HBM bandwidth. So for the
+# duration of one jitted epoch the accumulator is stored as column D of each
+# table; it then rides the existing row gather (forward) and the single row
+# scatter-add (update) for free, eliminating all standalone accumulator ops.
+#
+# Semantics: the accumulator CONTENTS stay exact (acc' = acc + sum of all
+# within-batch msq, identical to apply_embedding_updates). The only
+# divergence is the scale applied to rows duplicated *within one batch*:
+# each occurrence scales by rsqrt(acc_old + own msq) instead of
+# rsqrt(acc_after_all_duplicates) — a slightly larger step for within-batch
+# duplicates, equal whenever a row appears once per batch. The reference has
+# no embedding optimizer of its own to match (it defers to torch.optim,
+# SURVEY §2.9 #2), so this is this framework's defined semantics; tests
+# cover the no-duplicate equality and the accumulator exactness.
+# ---------------------------------------------------------------------------
+
+FusedRowGrads = List[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
+# [(ids(any shape), g(ids+[d]), acc_old(ids))]
+
+
+def supports_fused_layout(kind: str, tables: Dict[str, jnp.ndarray]) -> bool:
+    """Fused layout needs f32 tables (the accumulator shares their dtype)."""
+    return kind == "rowwise_adagrad" and all(
+        t.dtype == jnp.float32 for t in tables.values()
+    )
+
+
+def augment_tables(
+    tables: Dict[str, jnp.ndarray], opt_state: Dict[str, Any]
+) -> Dict[str, jnp.ndarray]:
+    """(R, D) tables + (R,) accumulators -> (R, D+1) augmented tables."""
+    return {
+        name: jnp.concatenate([t, opt_state[name]["acc"][:, None]], axis=1)
+        for name, t in tables.items()
+    }
+
+
+def split_augmented(
+    aug: Dict[str, jnp.ndarray]
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
+    """Inverse of :func:`augment_tables`."""
+    tables = {name: a[:, :-1] for name, a in aug.items()}
+    opt_state = {name: {"acc": a[:, -1]} for name, a in aug.items()}
+    return tables, opt_state
+
+
+def apply_embedding_updates_fused(
+    lr: float,
+    aug_tables: Dict[str, jnp.ndarray],
+    grads: Dict[str, FusedRowGrads],
+    eps: float = 1e-10,
+) -> Dict[str, jnp.ndarray]:
+    """Rowwise-adagrad step on augmented tables: ONE row scatter per table
+    carries both the parameter delta (cols 0..D-1) and the accumulator
+    increment (col D)."""
+    new_tables = dict(aug_tables)
+    for name, sites in grads.items():
+        if not sites:
+            continue
+        aug = new_tables[name]
+        d = aug.shape[-1] - 1
+        ids = jnp.concatenate([jnp.reshape(i, (-1,)) for i, _, _ in sites])
+        g = jnp.concatenate(
+            [jnp.reshape(gr, (-1, d)).astype(jnp.float32) for _, gr, _ in sites]
+        )
+        acc_old = jnp.concatenate(
+            [jnp.reshape(a, (-1,)).astype(jnp.float32) for _, _, a in sites]
+        )
+        msq = jnp.mean(g * g, axis=-1)
+        scale = jax.lax.rsqrt(acc_old + msq + eps)
+        upd = jnp.concatenate([-lr * g * scale[:, None], msq[:, None]], axis=1)
+        new_tables[name] = aug.at[ids].add(upd.astype(aug.dtype))
+    return new_tables
+
+
 def make_dense_optimizer(kind: str, lr: float) -> optax.GradientTransformation:
     if kind == "adam":
         return optax.adam(lr)
