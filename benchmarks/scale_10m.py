@@ -57,6 +57,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--train_epochs", type=int, default=12)
     ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--lr", type=float, default=0.05)
     args = ap.parse_args()
 
     from torchrecsys_tpu.config import ModelConfig, TrainConfig
@@ -84,7 +85,7 @@ def main():
     )
     cfg = TrainConfig(
         batch_size=args.batch,
-        learning_rate=0.05,
+        learning_rate=args.lr,
         dynamic_neg_sampling=True,
         loss="hinge",
     )
