@@ -81,3 +81,28 @@ def test_quickstart_example_runs():
     rs = RecSys(data, item_id_col="product_id", metadata_id_col=["category_ids"], n_factors=8)
     losses = rs.fit(epochs=1, batch_size=256, verbose=False)
     assert np.isfinite(losses).all()
+
+
+def test_op_summary_parses_trace(tmp_path):
+    """The xplane wire-format reader digests a real jax.profiler trace and
+    the per-op table renders (reference parity: in-terminal op digest,
+    model.py:268-269)."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchrecsys_tpu.utils.profiling import op_summary
+    from torchrecsys_tpu.utils.xplane import latest_trace_file, read_planes
+
+    d = str(tmp_path / "trace")
+    with jax.profiler.trace(d):
+        x = jnp.ones((256, 256))
+        for _ in range(3):
+            x = jnp.tanh(x @ x)
+        x.block_until_ready()
+    path = latest_trace_file(d)
+    assert path is not None
+    planes = read_planes(path)
+    assert planes and any(p.lines for p in planes)
+    # every event's metadata id resolves through some plane's name table
+    table = op_summary(d, row_limit=5)
+    assert "op" in table and "failed to parse" not in table, table[:400]

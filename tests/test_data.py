@@ -160,3 +160,43 @@ class TestNegativeSampling:
         pos = np.arange(1000, dtype=np.int32) % 7
         neg = sample_negatives_np(rng, pos, 7, avoid_collisions=True)
         assert (neg != pos).all()
+
+
+def test_user_history_vectorized_matches_naive():
+    """Vectorized user_history == the obvious per-user Python build."""
+    r = np.random.default_rng(3)
+    data = {
+        "user_id": r.integers(0, 20, 300),
+        "item_id": r.integers(0, 50, 300),
+    }
+    store = prepare_data(data, "user_id", "item_id", split_ratio=0.9)
+    for length in (1, 3, 8):
+        ids, mask = store.user_history(length)
+        naive = [[] for _ in range(store.schema.num_users)]
+        for u, i in zip(store.train_users, store.train_items):
+            naive[u].append(i)
+        for u, h in enumerate(naive):
+            h = h[-length:]
+            np.testing.assert_array_equal(ids[u, : len(h)], h)
+            assert int(mask[u].sum()) == len(h)
+            assert not mask[u, len(h) :].any()
+
+
+def test_public_batch_iterator():
+    """InteractionStore.batches — the public FastDataLoader surface
+    (reference dataset.py:319-458): covers every row exactly once, short
+    final batch unless drop_remainder."""
+    from tests.conftest import make_interactions
+
+    store = prepare_data(make_interactions(n=100), "user_id", "item_id")
+    batches = list(store.batches(32, seed=1))
+    assert [b["user_id"].shape[0] for b in batches] == [32, 32, 16]
+    assert set(batches[0]) == {"user_id", "pos_item_id", "neg_item_id"}
+    got = np.sort(np.concatenate([b["user_id"] for b in batches]))
+    np.testing.assert_array_equal(got, np.sort(store.train_users))
+    dropped = list(store.batches(32, drop_remainder=True))
+    assert [b["user_id"].shape[0] for b in dropped] == [32, 32]
+    unshuffled = list(store.batches(32, shuffle=False, split="test"))
+    np.testing.assert_array_equal(
+        np.concatenate([b["user_id"] for b in unshuffled]), store.test_users
+    )

@@ -95,7 +95,7 @@ def test_lstm_facade_end_to_end():
                 history_len=6)
     losses = rs.fit(epochs=2, batch_size=256, verbose=False)
     assert np.isfinite(losses).all()
-    metrics = rs.evaluate(verbose=False)
+    metrics = rs.evaluate(eval_metrics=["loss", "auc"], verbose=False)
     assert 0.0 <= metrics["auc"] <= 1.0
     top = rs.predict(user_id=0, top_k=5)
     assert top.shape == (5,)

@@ -275,3 +275,67 @@ class TestFusedEmbeddingUpdate:
         state = trainer.init_state(jax.random.PRNGKey(0))
         state, losses = trainer.fit(state, store, epochs=2, verbose=False)
         assert np.isfinite(losses).all()
+
+
+class TestChunkedEval:
+    """Trainer.evaluate honors batch_size and scales: the scan-chunked eval
+    must be exactly invariant to the chunking (VERDICT weak #2)."""
+
+    def _trained(self):
+        data = make_learnable_interactions()
+        store = prepare_data(data, "user_id", "item_id")  # static negatives
+        model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=8))
+        trainer = Trainer(model, TrainConfig(batch_size=128))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, _ = trainer.fit(state, store, epochs=1, verbose=False)
+        return trainer, store, state
+
+    def test_batch_size_invariance(self):
+        trainer, store, state = self._trained()
+        m_small = trainer.evaluate(state, store, batch_size=7, verbose=False)
+        m_big = trainer.evaluate(state, store, batch_size=1 << 20, verbose=False)
+        assert abs(m_small["loss"] - m_big["loss"]) < 1e-4
+        assert abs(m_small["auc"] - m_big["auc"]) < 1e-6
+
+    def test_default_uses_train_batch_size(self):
+        trainer, store, state = self._trained()
+        m = trainer.evaluate(state, store, verbose=False)
+        assert set(m) == {"loss", "auc"} and np.isfinite(list(m.values())).all()
+
+
+def test_remainder_rows_train():
+    """drop_remainder=False (default): every interaction trains each epoch
+    via a mask-padded final batch — the reference's short-batch behavior
+    (dataset.py:414-433). With drop_remainder=True the tail rows are skipped.
+
+    Each row has a unique user, so user-table row u changes iff row u
+    trained (items appear as negatives; users never do)."""
+    n = 130  # batch 64 -> 2 full batches + 2-row remainder
+    data = {"user_id": np.arange(n), "item_id": np.arange(n) % 37}
+    for flag, n_untrained in [(False, 0), (True, 2)]:
+        # dynamic collision-free negatives: every row's user gradient
+        # (i_neg - i_pos) is then nonzero (static negatives may collide with
+        # the positive — reference behavior — zeroing that row's grad)
+        store = prepare_data(
+            data, "user_id", "item_id", split_ratio=1.0, dynamic_neg_sampling=True
+        )
+        model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=8))
+        trainer = Trainer(
+            model,
+            TrainConfig(
+                batch_size=64,
+                drop_remainder=flag,
+                learning_rate=0.1,
+                dynamic_neg_sampling=True,
+            ),
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        p0, _ = model.init(jax.random.PRNGKey(0))
+        state, losses = trainer.fit(state, store, epochs=1, verbose=False)
+        assert np.isfinite(losses).all()
+        changed = ~np.all(
+            np.asarray(state["tables"]["user"])[:n]
+            == np.asarray(p0["tables"]["user"])[:n],
+            axis=1,
+        )
+        assert int((~changed).sum()) == n_untrained, (flag, (~changed).sum())

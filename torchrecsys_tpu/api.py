@@ -84,6 +84,12 @@ class RecSys:
         self.dynamic_neg_sampling = dynamic_neg_sampling
         self.trainer: Optional[Trainer] = None
         self.state = None
+        if debug:
+            # Reference: ProcessData.write_data(path) dumps config.json +
+            # meta.csv; the call is commented out at model.py:98. Here the
+            # `debug` flag makes `path` live: dataset stats + item metadata
+            # map are written at construction.
+            self.store.write_data(path)
 
     # ------------------------------------------------------------------
     @property
@@ -148,17 +154,51 @@ class RecSys:
         eval_metrics: Sequence[str] = ("loss",),
         verbose: bool = True,
     ) -> Dict[str, float]:
-        """Test-split pairwise loss / AUC (reference model.py:292-338)."""
+        """Test-split evaluation; returns exactly the requested metrics.
+
+        Reference: ``evaluate(batch_size, eval_metrics)`` computes only what
+        is requested (model.py:292-338) with metrics ``loss``/``auc``. Here
+        additionally ``recall@K`` / ``precision@K`` / ``hit_rate@K`` (any K)
+        are accepted — computed per-user from chunked full-catalog top-k
+        (eval/predict.py:ranking_eval; legacy reference analog
+        helper/evaluate.py:53-106).
+        """
         assert self.state is not None, "call fit() first"
-        out = self.trainer.evaluate(
-            self.state, self.store, batch_size=batch_size, verbose=verbose
-        )
-        if out and eval_metrics:
-            wanted = set(eval_metrics)
-            if "auc" not in wanted:
-                wanted.add("loss")
-            out = {k: v for k, v in out.items() if k in wanted or k in ("loss", "auc")}
-        return out
+        if self.store.num_test == 0:
+            return {}
+        pair_wanted = [m for m in eval_metrics if m in ("loss", "auc")]
+        rank_ks: List[int] = []
+        for m in eval_metrics:
+            if "@" in m:
+                kind, _, k_str = m.partition("@")
+                if kind not in ("recall", "precision", "hit_rate") or not k_str.isdigit():
+                    raise ValueError(f"unknown eval metric {m!r}")
+                rank_ks.append(int(k_str))
+            elif m not in ("loss", "auc"):
+                raise ValueError(f"unknown eval metric {m!r}")
+        out: Dict[str, float] = {}
+        if pair_wanted:
+            out.update(
+                self.trainer.evaluate(
+                    self.state, self.store, batch_size=batch_size, verbose=verbose
+                )
+            )
+        if rank_ks:
+            from torchrecsys_tpu.eval.predict import ranking_eval
+
+            out.update(
+                ranking_eval(
+                    self.model,
+                    {"tables": self.state["tables"], "dense": self.state["dense"]},
+                    self.state["model_state"],
+                    self.store.test_users,
+                    self.store.test_items,
+                    self.store.schema.num_items,
+                    self.trainer.feature_tables(self.store),
+                    ks=tuple(sorted(set(rank_ks))),
+                )
+            )
+        return {m: out[m] for m in eval_metrics}
 
     # ------------------------------------------------------------------
     def predict(
@@ -208,10 +248,23 @@ class RecSys:
 
     # ------------------------------------------------------------------
     def save(self, directory: str) -> None:
-        from torchrecsys_tpu.utils.checkpoint import save_checkpoint
+        """Checkpoint everything a cold process needs: the sharded train
+        state (Orbax), the schema, the raw-id vocabularies, the metadata
+        table, and the model/train configs. Restore with :meth:`restore`
+        (same process) or :meth:`RecSys.load` (fresh process, no dataset)."""
+        from torchrecsys_tpu.utils.checkpoint import pack_store_aux, save_checkpoint
 
         assert self.state is not None, "nothing to save; call fit() first"
-        save_checkpoint(directory, self.state, self.store.schema)
+        save_checkpoint(
+            directory,
+            self.state,
+            self.store.schema,
+            aux=pack_store_aux(
+                self.store,
+                self.model_cfg,
+                self.trainer.cfg if self.trainer else None,
+            ),
+        )
 
     def restore(self, directory: str) -> None:
         from torchrecsys_tpu.utils.checkpoint import restore_checkpoint
@@ -221,3 +274,66 @@ class RecSys:
                 self.trainer = Trainer(self.model, TrainConfig(seed=self.seed), mesh=self.mesh)
             self.state = self.trainer.init_state(jax.random.PRNGKey(self.seed))
         self.state = restore_checkpoint(directory, self.state)
+
+    @classmethod
+    def load(
+        cls, directory: str, mesh: Optional[jax.sharding.Mesh] = None
+    ) -> "RecSys":
+        """Cold restore: rebuild a fully functional ``RecSys`` from a
+        checkpoint directory alone — no dataset required. Raw-id ``predict``
+        works immediately because the id vocabularies and the metadata table
+        are part of the checkpoint (the train/test interaction splits are
+        not; call ``fit`` only after feeding data via a fresh constructor).
+        """
+        from torchrecsys_tpu.data.encoder import IdEncoder
+        from torchrecsys_tpu.data.metadata import MetadataTable
+        from torchrecsys_tpu.models import build_model
+        from torchrecsys_tpu.utils.checkpoint import (
+            load_aux,
+            load_schema,
+            restore_checkpoint,
+        )
+
+        aux = load_aux(directory)
+        if aux is None:
+            raise FileNotFoundError(
+                f"{directory} has no aux.pkl — saved by an older version? "
+                "Use RecSys(...).restore(directory) with the original dataset."
+            )
+        schema = load_schema(directory)
+        meta = aux["metadata"]
+        metadata = MetadataTable(
+            meta["ids"],
+            meta["mask"],
+            tuple(meta["names"]),
+            tuple(IdEncoder.from_list(v).freeze() for v in meta["vocabs"]),
+        )
+        empty = np.zeros((0,), np.int32)
+        store = InteractionStore(
+            schema=schema,
+            user_encoder=IdEncoder.from_list(aux["user_vocab"]).freeze(),
+            item_encoder=IdEncoder.from_list(aux["item_vocab"]).freeze(),
+            metadata=metadata,
+            train_users=empty,
+            train_items=empty,
+            test_users=empty,
+            test_items=empty,
+        )
+        self = cls.__new__(cls)
+        self.debug = False
+        self.path = directory
+        self.mesh = mesh
+        self.store = store
+        self.model_cfg = ModelConfig(**aux["model_cfg"])
+        self.model = build_model(schema, self.model_cfg)
+        self.dynamic_neg_sampling = bool(
+            (aux["train_cfg"] or {}).get("dynamic_neg_sampling", False)
+        )
+        train_cfg = (
+            TrainConfig(**aux["train_cfg"]) if aux["train_cfg"] else TrainConfig()
+        )
+        self.seed = train_cfg.seed
+        self.trainer = Trainer(self.model, train_cfg, mesh=mesh)
+        self.state = self.trainer.init_state(jax.random.PRNGKey(self.seed))
+        self.state = restore_checkpoint(directory, self.state)
+        return self

@@ -101,7 +101,11 @@ class TrainConfig:
     margin: float = 1.0  # hinge margin (loss.py:7)
     loss: str = "hinge"  # hinge | bpr | logistic
     seed: int = 0
-    drop_remainder: bool = True
+    # False (default) = remainder rows train in a mask-padded final batch
+    # (matching the reference's short final batch, dataset.py:414-433, while
+    # keeping every batch shape static for XLA). True = truncate the epoch to
+    # full batches.
+    drop_remainder: bool = False
     profile_epochs: int = 0  # jax.profiler trace for first N epochs
     # Epoch-internal "augmented table" layout for rowwise_adagrad: the per-row
     # accumulator is carried as an extra trailing column of each (f32) table so

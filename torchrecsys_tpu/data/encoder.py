@@ -71,6 +71,18 @@ class IdEncoder:
     def from_values(cls, values: Iterable[Any]) -> "IdEncoder":
         return cls().fit(values)
 
+    # -- serialization (checkpointing) ----------------------------------
+    def to_list(self) -> List[Any]:
+        """The vocabulary in row order — sufficient to rebuild the encoder."""
+        return list(self._to_raw)
+
+    @classmethod
+    def from_list(cls, raw: List[Any]) -> "IdEncoder":
+        enc = cls()
+        enc._to_raw = list(raw)
+        enc._to_index = {v: i for i, v in enumerate(raw)}
+        return enc
+
 
 def encode_column(values: Sequence[Any]) -> "tuple[np.ndarray, IdEncoder]":
     """Convenience: build an encoder over ``values`` and encode them.

@@ -147,6 +147,59 @@ def catalog_topk(
     )
 
 
+def ranking_eval(
+    model: RecModel,
+    params: Params,
+    state: State,
+    test_users: np.ndarray,  # (n_test,) encoded rows
+    test_items: np.ndarray,  # (n_test,) encoded rows
+    num_items: int,
+    feat: Optional[Features] = None,
+    ks: Tuple[int, ...] = (10,),
+    user_chunk: int = 512,
+    item_chunk: int = 4096,
+) -> Dict[str, float]:
+    """Per-user recall@k / precision@k / hit_rate@k over a test split.
+
+    Reference analog: the legacy dense-matrix ``precision_recall_k``
+    (torchrecsys/helper/evaluate.py:53-106), which argsorts a full
+    (num_users, num_items) score matrix — infeasible at catalog scale. Here
+    top-k ids come from the chunked/fused :func:`catalog_topk` (O(k) memory
+    per user), and the per-user aggregation is host-side numpy:
+
+    - ``recall@k``   = mean over users of |top-k ∩ true| / |true|
+    - ``precision@k``= mean over users of |top-k ∩ true| / k
+    - ``hit_rate@k`` = fraction of users with >= 1 hit
+      (Metrics.hit_rate semantics, evaluate/metrics.py:6-20)
+
+    Items are NOT filtered by train-set membership, matching the reference.
+    """
+    max_k = min(max(ks), num_items)
+    uniq, inv = np.unique(np.asarray(test_users), return_inverse=True)
+    topk_parts = []
+    for s in range(0, len(uniq), user_chunk):
+        chunk = jnp.asarray(uniq[s : s + user_chunk], jnp.int32)
+        _, ids = catalog_topk(
+            model, params, state, chunk, num_items, feat,
+            top_k=max_k, chunk_size=item_chunk,
+        )
+        topk_parts.append(np.asarray(ids))
+    topk = np.concatenate(topk_parts, axis=0)  # (n_uniq, max_k) desc
+
+    # hit rank of each test row within its user's top list (max_k if missed)
+    member = topk[inv] == np.asarray(test_items)[:, None]  # (n_test, max_k)
+    n_rows_per_user = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
+    out: Dict[str, float] = {}
+    for k in ks:
+        kk = min(k, num_items)
+        hit_row = member[:, :kk].any(axis=1)  # test row found in user's top-k
+        hits_per_user = np.bincount(inv, weights=hit_row, minlength=len(uniq))
+        out[f"recall@{k}"] = float(np.mean(hits_per_user / n_rows_per_user))
+        out[f"precision@{k}"] = float(np.mean(hits_per_user / kk))
+        out[f"hit_rate@{k}"] = float(np.mean(hits_per_user > 0))
+    return out
+
+
 def full_catalog_scores(
     model: RecModel,
     params: Params,

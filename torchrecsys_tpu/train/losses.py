@@ -36,3 +36,27 @@ LOSS_REGISTRY = {
     "bpr": bpr_loss,
     "logistic": logistic_loss,
 }
+
+
+# Per-row variants (no mean reduction) — used by chunked evaluation and by
+# the remainder-batch masking in the train epoch, where rows carry weights
+# (see train/trainer.py). Each satisfies mean(per_row(...)) == loss(...).
+def hinge_per_row(pos: jnp.ndarray, neg: jnp.ndarray, margin: float = 1.0) -> jnp.ndarray:
+    return jnp.maximum(neg - pos + margin, 0.0)
+
+
+def bpr_per_row(pos: jnp.ndarray, neg: jnp.ndarray, margin: float = 0.0) -> jnp.ndarray:
+    del margin
+    return -jax.nn.log_sigmoid(pos - neg)
+
+
+def logistic_per_row(pos: jnp.ndarray, neg: jnp.ndarray, margin: float = 0.0) -> jnp.ndarray:
+    del margin
+    return -0.5 * (jax.nn.log_sigmoid(pos) + jax.nn.log_sigmoid(-neg))
+
+
+PER_ROW_LOSS_REGISTRY = {
+    "hinge": hinge_per_row,
+    "bpr": bpr_per_row,
+    "logistic": logistic_per_row,
+}

@@ -32,7 +32,7 @@ from torchrecsys_tpu.data.interactions import InteractionStore
 from torchrecsys_tpu.data.features import attach_features
 from torchrecsys_tpu.data.sampling import sample_negatives
 from torchrecsys_tpu.models.base import Batch, RecModel
-from torchrecsys_tpu.train.losses import LOSS_REGISTRY
+from torchrecsys_tpu.train.losses import LOSS_REGISTRY, PER_ROW_LOSS_REGISTRY
 from torchrecsys_tpu.train.optim import (
     apply_embedding_updates,
     apply_embedding_updates_fused,
@@ -137,6 +137,13 @@ class Trainer:
         column — see train/optim.py): the accumulator then rides the row
         gather and the single row scatter instead of separate 1D ops."""
         model, cfg = self.model, self.cfg
+        # Optional per-row weights: the mask-padded remainder batch
+        # (drop_remainder=False) weights its filler rows 0 so they contribute
+        # no gradient. Filler rows still enter batch-norm statistics of that
+        # one batch (they are real, duplicated data rows) — the documented
+        # analog of the reference's short final batch (dataset.py:414-433).
+        w = batch.get("_w")
+        batch = {k: v for k, v in batch.items() if k != "_w"}
         user = batch["user_id"]
         pos = batch["pos_item_id"]
         b = pos.shape[0]
@@ -162,7 +169,12 @@ class Trainer:
             scores, st = model.score_rows(
                 dense_, state["model_state"], rows_, side, train=True
             )
-            return self.loss_fn(scores[:b], scores[b:], cfg.margin), st
+            if w is None:
+                return self.loss_fn(scores[:b], scores[b:], cfg.margin), st
+            per_row = PER_ROW_LOSS_REGISTRY[cfg.loss](
+                scores[:b], scores[b:], cfg.margin
+            )
+            return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0), st
 
         (loss, new_model_state), (g_rows, g_dense) = jax.value_and_grad(
             loss_from, argnums=(0, 1), has_aux=True
@@ -217,13 +229,26 @@ class Trainer:
         # clamp so datasets smaller than one batch still train (one full-set
         # batch) — the reference's loader likewise yields short batches
         b = min(self.cfg.batch_size, n)
-        nb = n // b
         rng, k_shuffle = jax.random.split(state["rng"])
         state = dict(state, rng=rng)
         # Sort-free permutation: jax.random.permutation is a full key sort
         # (~0.9 s/epoch at 10M rows on TPU); the Feistel permutation is O(n)
         # vectorized integer math (utils/permute.py).
-        perm = random_permutation(k_shuffle, n)[: nb * b]
+        weights = None
+        if self.cfg.drop_remainder or n % b == 0:
+            nb = n // b
+            perm = random_permutation(k_shuffle, n)[: nb * b]
+        else:
+            # Remainder rows train too (reference short-batch behavior,
+            # dataset.py:414-433): pad the permutation by wrapping around and
+            # zero-weight the filler rows so they carry no gradient.
+            nb = -(-n // b)
+            pad = nb * b - n
+            full = random_permutation(k_shuffle, n)
+            perm = jnp.concatenate([full, full[:pad]])
+            weights = (
+                (jnp.arange(nb * b) < n).astype(jnp.float32).reshape(nb, b)
+            )
         # Shuffle via ONE row gather of a packed (n, K) matrix: per-array 1D
         # jnp.take lowers to a scalar gather (~0.6 GB/s on TPU, 12% of the
         # epoch at 10M rows); a 2D row gather of the same data is ~20x faster.
@@ -240,6 +265,8 @@ class Trainer:
             shuf = jnp.take(packed, perm, axis=0)
             for i, k in enumerate(packable):
                 batches[k] = shuf[:, i].reshape(nb, b)
+        if weights is not None:
+            batches["_w"] = weights
 
         # Switch to the augmented (R, D+1) table layout for the whole epoch
         # (one 2x-table-size copy each way — negligible next to the scan).
@@ -304,6 +331,13 @@ class Trainer:
                 dt = time.perf_counter() - t0
                 # per-epoch reporting, reference model.py:288
                 log.info("epoch %d: loss=%.5f (%.2fs)", epoch, loss, dt)
+            if profiling and epoch == self.cfg.profile_epochs - 1:
+                # in-terminal per-op digest of the last profiled epoch —
+                # reference parity with torch.profiler's key_averages()
+                # table print (model.py:268-269)
+                from torchrecsys_tpu.utils.profiling import op_summary
+
+                log.info("per-op device time digest:\n%s", op_summary(profile_dir))
         return state, losses_out
 
     def _device_train_data(self, store: InteractionStore) -> Dict[str, jnp.ndarray]:
@@ -351,34 +385,56 @@ class Trainer:
     def _eval_fn(
         self,
         state: TrainState,
-        data: Dict[str, jnp.ndarray],
-        valid: jnp.ndarray,
+        batches: Dict[str, jnp.ndarray],  # (nb, b) arrays
+        valid: jnp.ndarray,  # (nb, b) bool
         feat: Optional[Dict[str, jnp.ndarray]],
     ) -> Dict[str, jnp.ndarray]:
-        """Batched eval: mean pairwise loss + pairwise AUC over valid rows.
+        """Chunked eval: mean pairwise loss + pairwise AUC over valid rows,
+        one ``lax.scan`` over ``batch_size`` batches so the activation
+        footprint is O(batch) regardless of split size (a 5M-row MLP split
+        evaluated in one call would be a tens-of-GB activation — OOM).
 
         Reference: TorchRecSys.evaluate (model.py:292-338) with
         Metrics.auc_score = mean(pos > neg) (evaluate/metrics.py:23-31)."""
-        user, pos = data["user_id"], data["pos_item_id"]
-        b = pos.shape[0]
-        if "neg_item_id" in data:
-            neg = data["neg_item_id"]
-        else:
-            k = jax.random.fold_in(state["rng"], 0x5EED)
-            neg = sample_negatives(
-                k, pos, self.model.schema.num_items, self.cfg.avoid_collisions
-            )
-        side = self._paired_side(user, pos, neg, feat)
         params = {"tables": state["tables"], "dense": state["dense"]}
-        scores, _ = self.model.score(params, state["model_state"], side, train=False)
-        pos_scores, neg_scores = scores[:b], scores[b:]
-        w = valid.astype(jnp.float32)
-        n = jnp.maximum(jnp.sum(w), 1.0)
-        per_row = jnp.maximum(neg_scores - pos_scores + self.cfg.margin, 0.0)
-        return {
-            "loss": jnp.sum(per_row * w) / n,
-            "auc": jnp.sum((pos_scores > neg_scores).astype(jnp.float32) * w) / n,
+        per_row_loss = PER_ROW_LOSS_REGISTRY[self.cfg.loss]
+
+        def body(carry, xs):
+            batch, v = xs
+            user, pos = batch["user_id"], batch["pos_item_id"]
+            b = pos.shape[0]
+            if "neg_item_id" in batch:
+                neg = batch["neg_item_id"]
+            else:
+                # dynamic mode: eval negatives re-drawn per call — seeded,
+                # unlike the reference's nondeterministic eval (model.py:303)
+                k = jax.random.fold_in(state["rng"], 0x5EED + carry["i"])
+                neg = sample_negatives(
+                    k, pos, self.model.schema.num_items, self.cfg.avoid_collisions
+                )
+            side = self._paired_side(user, pos, neg, feat)
+            scores, _ = self.model.score(
+                params, state["model_state"], side, train=False
+            )
+            ps, ns = scores[:b], scores[b:]
+            w = v.astype(jnp.float32)
+            new = {
+                "i": carry["i"] + 1,
+                "n": carry["n"] + jnp.sum(w),
+                "loss": carry["loss"] + jnp.sum(per_row_loss(ps, ns, self.cfg.margin) * w),
+                "auc": carry["auc"] + jnp.sum((ps > ns).astype(jnp.float32) * w),
+            }
+            return new, None
+
+        init = {
+            "i": jnp.zeros((), jnp.int32),
+            "n": jnp.zeros((), jnp.float32),
+            "loss": jnp.zeros((), jnp.float32),
+            "auc": jnp.zeros((), jnp.float32),
         }
+        out, _ = jax.lax.scan(body, init, (batches, valid))
+        n = jnp.maximum(out["n"], 1.0)
+        return {"loss": out["loss"] / n, "auc": out["auc"] / n}
 
     def evaluate(
         self,
@@ -387,14 +443,23 @@ class Trainer:
         batch_size: Optional[int] = None,
         verbose: bool = True,
     ) -> Dict[str, float]:
+        """Pairwise loss/AUC over the test split, chunked by ``batch_size``
+        (reference knob, model.py:292). Rows beyond the last full batch are
+        carried in a padded, masked final batch — every test row counts."""
         if store.num_test == 0:
             # reference guard: model.py:299
             if verbose:
                 log.info("evaluate: empty test split")
             return {}
-        del batch_size  # the whole split is evaluated in one fused call
-        data = {k: jnp.asarray(v) for k, v in store.test_arrays().items()}
-        valid = jnp.ones((store.num_test,), bool)
+        n = store.num_test
+        b = min(batch_size or self.cfg.batch_size, n)
+        nb = -(-n // b)
+        pad = nb * b - n
+        data = {}
+        for k, v in store.test_arrays().items():
+            arr = np.concatenate([v, v[:pad]]) if pad else v
+            data[k] = jnp.asarray(arr).reshape((nb, b) + v.shape[1:])
+        valid = jnp.arange(nb * b).reshape(nb, b) < n
         feat = self.feature_tables(store)
         out = self._eval_jit(state, data, valid, feat)
         result = {k: float(v) for k, v in out.items()}

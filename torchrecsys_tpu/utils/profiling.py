@@ -43,3 +43,19 @@ def annotate(name: str) -> Iterator[None]:
     """Named region in the trace timeline (TraceAnnotation)."""
     with jax.profiler.TraceAnnotation(name):
         yield
+
+
+def op_summary(trace_dir: str, row_limit: int = 20) -> str:
+    """In-terminal per-op device-time digest of the latest trace in
+    ``trace_dir`` — reference parity with torch.profiler's
+    ``key_averages().table(sort_by=..., row_limit=20)`` print
+    (torchrecsys/model.py:268-269). Returns the formatted table."""
+    from torchrecsys_tpu.utils import xplane
+
+    path = xplane.latest_trace_file(trace_dir)
+    if path is None:
+        return f"(no xplane.pb trace found under {trace_dir})"
+    try:
+        return xplane.format_op_table(path, row_limit=row_limit)
+    except Exception as e:  # a digest must never break training
+        return f"(failed to parse trace {path}: {type(e).__name__}: {e})"
