@@ -7,16 +7,11 @@ Run: python benchmarks/profile_epoch.py [--n 10000000]
 from __future__ import annotations
 
 import argparse
-import glob
-import gzip
-import json
 import os
 import sys
 import time
-from collections import defaultdict
 
 import jax
-import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -70,39 +65,13 @@ def main():
         state, _ = trainer.fit(state, store, epochs=1, verbose=False)
         jax.block_until_ready(state["tables"])
     dt = time.perf_counter() - t0
-    print(f"epoch wall: {dt:.3f}s")
+    print(f"epoch wall: {dt:.3f}s  ({args.n/dt/1e6:.2f}M examples/s)")
 
-    # newest trace.json.gz under the trace dir
-    paths = sorted(
-        glob.glob(os.path.join(args.trace_dir, "**", "*.trace.json.gz"),
-                  recursive=True),
-        key=os.path.getmtime,
-    )
-    if not paths:
-        print("no trace found")
-        return
-    with gzip.open(paths[-1], "rt") as f:
-        trace = json.load(f)
-    events = trace.get("traceEvents", [])
-    # Device-side complete events: sum duration by op name, keep only TPU pids
-    pid_names = {
-        e["pid"]: e["args"].get("name", "")
-        for e in events
-        if e.get("ph") == "M" and e.get("name") == "process_name" and "args" in e
-    }
-    tpu_pids = {p for p, n in pid_names.items() if "TPU" in n or "/device" in n.lower()}
-    by_name = defaultdict(float)
-    total = 0.0
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
-            continue
-        name = e.get("name", "?")
-        dur = e.get("dur", 0) / 1e6  # us -> s
-        by_name[name] += dur
-        total += dur
-    print(f"device op time total: {total:.3f}s  (pids: {sorted(tpu_pids)})")
-    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"  {dur*1000:9.2f} ms  {100*dur/max(total,1e-9):5.1f}%  {name}")
+    # per-op digest straight from the xplane wire format (utils/xplane.py) —
+    # the chrome trace.json.gz is O(100MB) at 10M rows and too slow to parse
+    from torchrecsys_tpu.utils.profiling import op_summary
+
+    print(op_summary(args.trace_dir, row_limit=30))
 
 
 if __name__ == "__main__":

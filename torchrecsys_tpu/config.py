@@ -116,3 +116,9 @@ class TrainConfig:
     # acc_old + own msq rather than the post-all-duplicates accumulator; the
     # accumulator contents themselves stay exact. See train/optim.py.
     fused_embedding_update: bool = True
+    # Run the whole train step (score -> loss -> backward -> adagrad math) as
+    # ONE Pallas kernel over packed (rows, 128) tables when the model/config
+    # supports it (Linear/FM without metadata, rowwise_adagrad, single
+    # device) — see ops/fused_pairwise.py. Falls back to the XLA step
+    # transparently when inapplicable.
+    pallas_step: bool = True

@@ -34,6 +34,15 @@ from torchrecsys_tpu.models.base import (
 class FMModel(RecModel):
     name = "fm"
     supports_linearized_catalog = True
+    # Fused Pallas train-step layout (ops/fused_pairwise.py): with the two
+    # fields {user, item} the pairwise term 0.5((u+i)^2 - u^2 - i^2) is
+    # exactly u.i, and the per-side linear terms ride the bias lanes — so FM
+    # without metadata shares the Linear kernel (plus the sigmoid chain).
+    pairwise_pack = {"user": ("user", "linear_user"), "item": ("item", "linear_item")}
+
+    @property
+    def pairwise_sigmoid(self) -> bool:
+        return self.cfg.fm_sigmoid
 
     def table_specs(self) -> Dict[str, TableSpec]:
         k = self.cfg.n_factors

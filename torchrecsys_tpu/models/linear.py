@@ -29,6 +29,13 @@ from torchrecsys_tpu.models.base import (
 class LinearModel(RecModel):
     name = "linear"
     supports_linearized_catalog = True
+    # Fused Pallas train-step layout (ops/fused_pairwise.py): score is
+    # <u, i> + b_u + b_i, so the bias tables ride the packed side rows.
+    pairwise_pack = {"user": ("user", "user_bias"), "item": ("item", "item_bias")}
+
+    @property
+    def pairwise_sigmoid(self) -> bool:
+        return False
 
     def table_specs(self) -> Dict[str, TableSpec]:
         d = self.cfg.n_factors

@@ -1,0 +1,322 @@
+"""Fused Pallas TPU training step for factorization models (Linear / FM).
+
+This is the framework's "native training kernel" — the forward score, the
+pairwise loss, the closed-form backward, and the rowwise-adagrad update math
+all execute in ONE Pallas kernel over VMEM-resident row tiles. The reference
+hot loop (two ``net.forward`` calls + ``hinge_loss`` + autograd + optimizer
+step, torchrecsys/model.py:274-285 with loss helper/loss.py:7) becomes, per
+batch:
+
+    gather packed rows -> [Pallas: score pos|neg -> loss -> row grads ->
+    adagrad deltas] -> scatter packed update rows
+
+**Packed epoch layout.** For the duration of one jitted epoch each side's
+state lives in a single ``(rows, 128)`` f32 table — one physical TPU tile
+row per id:
+
+    col 0..D-1 : factor vector            (D = n_factors)
+    col D      : rowwise-adagrad accumulator of the vector
+    col D+1    : bias (Linear) / linear term (FM)
+    col D+2    : accumulator of the bias
+    col D+3    : (input only) optional per-row loss weight
+    rest       : zero padding up to the 128-lane tile
+
+so ONE row gather feeds the kernel everything it needs about an id, and ONE
+row scatter-add applies both the parameter delta and the accumulator
+increment. Compare the generic XLA path (train/trainer.py:_step_impl), which
+gathers vector and bias tables separately and runs forward, autograd backward
+and the adagrad math as separate fused-elementwise passes over HBM: the
+kernel reads each row from HBM exactly once and writes exactly one update row
+— the memory-traffic lower bound for this step.
+
+Math (identical to the XLA fused-layout path, train/optim.py):
+
+    raw_pos = <u_vec, p_vec> + u_bias + p_bias        # linear.py:78 / fm
+    s = sigmoid(raw) if fm_sigmoid else raw           # fm.py:99 quirk
+    l, dl/ds_pos, dl/ds_neg per LOSS (hinge helper/loss.py:7 | bpr | logistic)
+    g_row = dl/draw * d(raw)/d(row) * w / sum(w)
+    msq = mean(g_row^2);  delta = -lr * g_row * rsqrt(acc + msq + eps)
+
+Applicability (``pairwise_kernel_applicable``): Linear/FM models without
+metadata features, f32 params, rowwise_adagrad, single-device (the sharded
+path keeps the GSPMD XLA step). Everything else falls back transparently.
+
+Note FM's pairwise field term for the two fields {user, item} is exactly
+``u·i`` (0.5((u+i)^2-u^2-i^2) = u·i), so Linear and FM share this kernel —
+FM routes its linear terms through the bias columns and sets ``sigmoid=True``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+
+def pack_side(vec_aug: jnp.ndarray, bias_aug: jnp.ndarray) -> jnp.ndarray:
+    """(R, D+1) augmented vector table + (R, 2) augmented bias table ->
+    (R, 128) packed table (see module docstring for the column layout)."""
+    r, d1 = vec_aug.shape
+    d = d1 - 1
+    out = jnp.zeros((r, LANES), jnp.float32)
+    out = out.at[:, : d + 1].set(vec_aug.astype(jnp.float32))
+    out = out.at[:, d + 1 : d + 3].set(bias_aug.astype(jnp.float32))
+    return out
+
+
+def unpack_side(packed: jnp.ndarray, d: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of :func:`pack_side` -> (vec_aug (R, D+1), bias_aug (R, 2))."""
+    return packed[:, : d + 1], packed[:, d + 1 : d + 3]
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _pairwise_kernel(
+    inv_ref,  # (1, 1) SMEM: 1 / max(sum(w), 1)
+    u_ref,  # (T, 128) packed user rows
+    p_ref,  # (T, 128) packed positive-item rows
+    n_ref,  # (T, 128) packed negative-item rows
+    uo_ref,  # (T, 128) user update rows
+    po_ref,  # (T, 128) positive update rows
+    no_ref,  # (T, 128) negative update rows
+    loss_ref,  # (1, 1) sum of weighted per-row losses
+    loss_scr,  # (1, 1) SMEM scratch accumulator
+    *,
+    d: int,
+    lr: float,
+    margin: float,
+    eps: float,
+    loss_kind: str,
+    sigmoid: bool,
+    use_w: bool,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        loss_scr[0, 0] = 0.0
+
+    u, p, n = u_ref[:], p_ref[:], n_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+    vmask = (col < d).astype(jnp.float32)
+    uv, pv, nv = u * vmask, p * vmask, n * vmask
+
+    # All per-row scalars stay (T, 1): Mosaic mis-lays-out 1-D vectors
+    # produced by cross-lane reductions.
+    def lane(a, c):  # (T, 1) column c of a packed block
+        return jnp.sum(jnp.where(col == c, a, 0.0), axis=1, keepdims=True)
+
+    acc_u, b_u, bacc_u = lane(u, d), lane(u, d + 1), lane(u, d + 2)
+    acc_p, b_p, bacc_p = lane(p, d), lane(p, d + 1), lane(p, d + 2)
+    acc_n, b_n, bacc_n = lane(n, d), lane(n, d + 1), lane(n, d + 2)
+
+    # ---- forward: score both sides (linear.py:78 / fm.py:83-99) ----------
+    raw_p = jnp.sum(uv * pv, axis=1, keepdims=True) + b_u + b_p
+    raw_n = jnp.sum(uv * nv, axis=1, keepdims=True) + b_u + b_n
+    if sigmoid:
+        s_p, s_n = jax.nn.sigmoid(raw_p), jax.nn.sigmoid(raw_n)
+    else:
+        s_p, s_n = raw_p, raw_n
+
+    # ---- per-row loss + dl/ds (train/losses.py) --------------------------
+    if loss_kind == "hinge":
+        l = jnp.maximum(s_n - s_p + margin, 0.0)  # helper/loss.py:7
+        act = (l > 0.0).astype(jnp.float32)
+        dp, dn = -act, act
+    elif loss_kind == "bpr":
+        diff = s_n - s_p
+        l = jax.nn.softplus(diff)
+        sig = jax.nn.sigmoid(diff)
+        dp, dn = -sig, sig
+    elif loss_kind == "logistic":
+        l = -0.5 * (jax.nn.log_sigmoid(s_p) + jax.nn.log_sigmoid(-s_n))
+        dp = -0.5 * jax.nn.sigmoid(-s_p)
+        dn = 0.5 * jax.nn.sigmoid(s_n)
+    else:  # pragma: no cover - guarded by the registry at call sites
+        raise ValueError(f"unsupported loss {loss_kind!r}")
+    if sigmoid:  # chain through d sigma = s(1-s)
+        dp = dp * s_p * (1.0 - s_p)
+        dn = dn * s_n * (1.0 - s_n)
+
+    w = lane(u, d + 3) if use_w else 1.0
+    inv = inv_ref[0, 0]
+    gp, gn = dp * (w * inv), dn * (w * inv)  # (T, 1) d loss / d raw
+
+    loss_scr[0, 0] += jnp.sum(l * w) if use_w else jnp.sum(l)
+    loss_ref[0, 0] = loss_scr[0, 0]
+
+    # ---- backward (closed form) + rowwise adagrad (train/optim.py) -------
+    # The XLA fused-layout path gathers each user row TWICE per batch row
+    # (once in the positive half of the paired side, once in the negative —
+    # trainer._paired_side), so it applies two per-occurrence adagrad updates
+    # each scaled by rsqrt(acc_old + own msq). Reproduced exactly here.
+    def upd(occurrences, acc, bias_occurrences, bacc):
+        dvec = 0.0
+        accinc = 0.0
+        for gvec in occurrences:  # gvec (T, 128), zero outside vector lanes
+            msq = jnp.sum(gvec * gvec, axis=1, keepdims=True) * (1.0 / d)
+            dvec = dvec + gvec * jax.lax.rsqrt(acc + msq + eps)
+            accinc = accinc + msq
+        dbias = 0.0
+        baccinc = 0.0
+        for gb in bias_occurrences:  # gb (T, 1)
+            dbias = dbias + gb * jax.lax.rsqrt(bacc + gb * gb + eps)
+            baccinc = baccinc + gb * gb
+        out = -lr * dvec
+        out = out + jnp.where(col == d, accinc, 0.0)
+        out = out + jnp.where(col == d + 1, -lr * dbias, 0.0)
+        out = out + jnp.where(col == d + 2, baccinc, 0.0)
+        return out
+
+    uo_ref[:] = upd([gp * pv, gn * nv], acc_u, [gp, gn], bacc_u)
+    po_ref[:] = upd([gp * uv], acc_p, [gp], bacc_p)
+    no_ref[:] = upd([gn * uv], acc_n, [gn], bacc_n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "d", "lr", "margin", "eps", "loss_kind", "sigmoid", "interpret"
+    ),
+)
+def fused_pairwise_step(
+    user_pk: jnp.ndarray,  # (Ru, 128) packed user table
+    item_pk: jnp.ndarray,  # (Ri, 128) packed item table
+    user_ids: jnp.ndarray,  # (B,)
+    pos_ids: jnp.ndarray,  # (B,)
+    neg_ids: jnp.ndarray,  # (B,)
+    weights: Optional[jnp.ndarray],  # (B,) or None
+    *,
+    d: int,
+    lr: float,
+    margin: float,
+    loss_kind: str,
+    sigmoid: bool,
+    eps: float = 1e-10,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused training step on packed tables.
+
+    Returns ``(new_user_pk, new_item_pk, loss)`` where loss is the weighted
+    mean per-row loss (identical semantics to the XLA step)."""
+    b = user_ids.shape[0]
+    tile = 1024 if b >= 1024 else _round_up(b, 8)
+    b_pad = _round_up(b, tile)
+
+    u = jnp.take(user_pk, user_ids, axis=0)
+    p = jnp.take(item_pk, pos_ids, axis=0)
+    n = jnp.take(item_pk, neg_ids, axis=0)
+
+    use_w = weights is not None or b_pad != b
+    if use_w:
+        w = jnp.ones((b,), jnp.float32) if weights is None else weights
+        inv = 1.0 / jnp.maximum(jnp.sum(w), 1.0)
+        if b_pad != b:
+            w = jnp.concatenate([w, jnp.zeros((b_pad - b,), jnp.float32)])
+        pad = ((0, b_pad - b), (0, 0))
+        u = jnp.pad(u, pad).at[:, d + 3].set(w)
+        p, n = jnp.pad(p, pad), jnp.pad(n, pad)
+    else:
+        inv = jnp.float32(1.0 / b)
+    inv = jnp.reshape(inv.astype(jnp.float32), (1, 1))
+
+    kernel = functools.partial(
+        _pairwise_kernel,
+        d=d, lr=lr, margin=margin, eps=eps,
+        loss_kind=loss_kind, sigmoid=sigmoid, use_w=use_w,
+    )
+    grid = (b_pad // tile,)
+    row_spec = pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    upd_u, upd_p, upd_n, loss_sum = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            row_spec, row_spec, row_spec,
+        ],
+        out_specs=(
+            row_spec, row_spec, row_spec,
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b_pad * LANES,
+            bytes_accessed=6 * b_pad * LANES * 4,
+            transcendentals=(4 * b_pad if (sigmoid or loss_kind != "hinge") else 0),
+        ),
+        interpret=interpret,
+    )(inv, u, p, n)
+
+    new_user = user_pk.at[user_ids].add(upd_u[:b])
+    new_item = item_pk.at[jnp.concatenate([pos_ids, neg_ids])].add(
+        jnp.concatenate([upd_p[:b], upd_n[:b]])
+    )
+    loss = loss_sum[0, 0] * inv[0, 0]
+    return new_user, new_item, loss
+
+
+# ---------------------------------------------------------------------------
+# applicability + layout adapters (used by train/trainer.py)
+# ---------------------------------------------------------------------------
+
+SUPPORTED_LOSSES = ("hinge", "bpr", "logistic")
+
+
+def pairwise_kernel_applicable(model, cfg, mesh) -> bool:
+    """True when the whole train step can run as the fused Pallas kernel."""
+    return (
+        getattr(model, "pairwise_pack", None) is not None
+        and model.schema.num_metadata_features == 0
+        and cfg.embedding_optimizer == "rowwise_adagrad"
+        and cfg.fused_embedding_update
+        and cfg.loss in SUPPORTED_LOSSES
+        and mesh is None
+        and model.param_dtype == jnp.float32
+        and model.cfg.n_factors <= LANES - 4
+    )
+
+
+def pack_tables(aug_tables: Dict[str, jnp.ndarray], pack, d: int):
+    """Augmented per-table dict -> {"user": (Ru,128), "item": (Ri,128)}."""
+    return {
+        side: pack_side(aug_tables[vec_name], aug_tables[bias_name])
+        for side, (vec_name, bias_name) in pack.items()
+    }
+
+
+def unpack_tables(packed, pack, d: int) -> Dict[str, jnp.ndarray]:
+    """Inverse of :func:`pack_tables` -> augmented per-table dict."""
+    out: Dict[str, jnp.ndarray] = {}
+    for side, (vec_name, bias_name) in pack.items():
+        vec_aug, bias_aug = unpack_side(packed[side], d)
+        out[vec_name] = vec_aug
+        out[bias_name] = bias_aug
+    return out

@@ -218,6 +218,15 @@ class Trainer:
         return new_state, loss
 
     # ------------------------------------------------------------------
+    def _pallas_pairwise(self) -> bool:
+        """True when the epoch can use the fused Pallas train kernel."""
+        from torchrecsys_tpu.ops.fused_pairwise import pairwise_kernel_applicable
+
+        return self.cfg.pallas_step and pairwise_kernel_applicable(
+            self.model, self.cfg, self.mesh
+        )
+
+    # ------------------------------------------------------------------
     def _epoch_fn(
         self,
         state: TrainState,
@@ -273,6 +282,52 @@ class Trainer:
         fused = self.cfg.fused_embedding_update and supports_fused_layout(
             self.cfg.embedding_optimizer, state["tables"]
         )
+
+        # Fully fused Pallas step (Linear/FM without metadata): the whole
+        # score -> loss -> backward -> adagrad chain is one kernel over a
+        # packed (rows, 128) layout — see ops/fused_pairwise.py.
+        if fused and self._pallas_pairwise():
+            from torchrecsys_tpu.ops import fused_pairwise as fp
+
+            d = self.model.cfg.n_factors
+            pack = self.model.pairwise_pack
+            state = dict(
+                state,
+                tables=fp.pack_tables(
+                    augment_tables(state["tables"], state["emb_opt"]), pack, d
+                ),
+                emb_opt={name: {} for name in state["emb_opt"]},
+            )
+            interpret = jax.default_backend() != "tpu"
+            cfg = self.cfg
+
+            def body_pl(st, batch):
+                w = batch.get("_w")
+                user, pos = batch["user_id"], batch["pos_item_id"]
+                if "neg_item_id" in batch:
+                    neg = batch["neg_item_id"]
+                else:
+                    k_neg = jax.random.fold_in(st["rng"], st["step"])
+                    neg = sample_negatives(
+                        k_neg, pos, self.model.schema.num_items, cfg.avoid_collisions
+                    )
+                nu, ni, loss = fp.fused_pairwise_step(
+                    st["tables"]["user"], st["tables"]["item"],
+                    user, pos, neg, w,
+                    d=d, lr=cfg.learning_rate, margin=cfg.margin,
+                    loss_kind=cfg.loss, sigmoid=self.model.pairwise_sigmoid,
+                    interpret=interpret,
+                )
+                st = dict(st, tables={"user": nu, "item": ni}, step=st["step"] + 1)
+                return st, loss
+
+            state, losses = jax.lax.scan(body_pl, state, batches)
+            tables, emb_opt = split_augmented(
+                fp.unpack_tables(state["tables"], pack, d)
+            )
+            state = dict(state, tables=tables, emb_opt=emb_opt)
+            return state, jnp.mean(losses)
+
         if fused:
             state = dict(
                 state,
