@@ -30,9 +30,16 @@ def _store(n=700, n_users=50, n_items=40, dynamic=True, seed=0):
     )
 
 
-def _run_epochs(store, net, cfg, epochs=2):
-    model = build_model(store.schema, ModelConfig(net_type=net, n_factors=16))
-    trainer = Trainer(model, cfg)
+def _run_epochs(store, net, cfg, epochs=2, mesh=None, amp=False):
+    model = build_model(
+        store.schema,
+        ModelConfig(
+            net_type=net,
+            n_factors=16,
+            compute_dtype="bfloat16" if amp else "float32",
+        ),
+    )
+    trainer = Trainer(model, cfg, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(0))
     state, losses = trainer.fit(state, store, epochs=epochs, verbose=False)
     return trainer, state, losses
@@ -45,7 +52,7 @@ def test_pallas_epoch_matches_xla(net, loss):
     store = _store()
     cfg = TrainConfig(
         batch_size=128, learning_rate=0.05, dynamic_neg_sampling=True,
-        loss=loss, seed=3,
+        loss=loss, seed=3, pallas_step=True,  # force: "auto" is TPU-only
     )
     t_pl, s_pl, l_pl = _run_epochs(store, net, cfg)
     assert t_pl._pallas_pairwise(), "kernel path should apply here"
@@ -68,7 +75,9 @@ def test_pallas_epoch_matches_xla(net, loss):
 
 def test_pallas_epoch_static_negatives_and_logistic():
     store = _store(dynamic=False)
-    cfg = TrainConfig(batch_size=64, learning_rate=0.02, loss="logistic")
+    cfg = TrainConfig(
+        batch_size=64, learning_rate=0.02, loss="logistic", pallas_step=True
+    )
     t_pl, s_pl, l_pl = _run_epochs(store, "linear", cfg)
     assert t_pl._pallas_pairwise()
     _, s_x, l_x = _run_epochs(
@@ -92,7 +101,7 @@ def test_pallas_kernel_inapplicable_with_metadata():
     }
     store = prepare_data(data, "user_id", "item_id", metadata_id_col=["cat"])
     model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=8))
-    trainer = Trainer(model, TrainConfig(batch_size=64))
+    trainer = Trainer(model, TrainConfig(batch_size=64, pallas_step=True))
     assert not trainer._pallas_pairwise()  # falls back to the XLA step
     state = trainer.init_state(jax.random.PRNGKey(0))
     state, losses = trainer.fit(state, store, epochs=1, verbose=False)
@@ -103,8 +112,74 @@ def test_pallas_kernel_inapplicable_for_mlp():
     store = _store(n=200)
     model = build_model(store.schema, ModelConfig(net_type="mlp", n_factors=8,
                                                   hidden_layers=(16,)))
-    trainer = Trainer(model, TrainConfig(batch_size=64))
+    trainer = Trainer(model, TrainConfig(batch_size=64, pallas_step=True))
     assert not trainer._pallas_pairwise()
+
+
+def test_pallas_kernel_inapplicable_with_bf16_compute():
+    """use_amp (bf16 compute) must take the XLA step: the kernel computes in
+    f32 and would silently diverge from the bf16 fallback (VERDICT r2 #3)."""
+    store = _store(n=200)
+    model = build_model(
+        store.schema,
+        ModelConfig(net_type="linear", n_factors=8, compute_dtype="bfloat16"),
+    )
+    trainer = Trainer(model, TrainConfig(batch_size=64, pallas_step=True))
+    assert not trainer._pallas_pairwise()
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, losses = trainer.fit(state, store, epochs=1, verbose=False)
+    assert np.isfinite(losses[0])
+
+
+def test_pallas_auto_mode_is_tpu_only():
+    """pallas_step='auto' (default) keeps the kernel off non-TPU backends —
+    interpret mode is for parity tests, not CPU performance (ADVICE r2)."""
+    store = _store(n=200)
+    model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=8))
+    auto = Trainer(model, TrainConfig(batch_size=64))
+    forced = Trainer(model, TrainConfig(batch_size=64, pallas_step=True))
+    off = Trainer(model, TrainConfig(batch_size=64, pallas_step=False))
+    on_tpu = jax.default_backend() == "tpu"
+    assert auto._pallas_pairwise() == on_tpu
+    assert forced._pallas_pairwise()
+    assert not off._pallas_pairwise()
+
+
+@pytest.mark.parametrize("n_data", [8, 4], ids=lambda x: f"data={x}")
+def test_pallas_dp_epoch_matches_single_device(n_data):
+    """Data-parallel kernel (shard_map over 'data', update-row all_gather,
+    replicated scatters) must reproduce the single-device kernel exactly."""
+    store = _store(n=1040)  # 832 train rows: 6 full 128-batches + remainder
+    cfg = TrainConfig(
+        batch_size=128, learning_rate=0.05, dynamic_neg_sampling=True,
+        loss="hinge", seed=3, pallas_step=True,
+    )
+    t_ref, s_ref, l_ref = _run_epochs(store, "linear", cfg)
+    assert t_ref._pallas_pairwise()
+
+    mesh = jax.sharding.Mesh(
+        np.array(jax.devices()[:n_data]).reshape(n_data, 1), ("data", "model")
+    )
+    t_dp, s_dp, l_dp = _run_epochs(store, "linear", cfg, mesh=mesh)
+    assert t_dp._pallas_pairwise()
+    np.testing.assert_allclose(l_dp, l_ref, rtol=1e-5, atol=1e-6)
+    for name in s_ref["tables"]:
+        np.testing.assert_allclose(
+            np.asarray(s_dp["tables"][name]), np.asarray(s_ref["tables"][name]),
+            rtol=1e-5, atol=1e-6, err_msg=f"table {name}",
+        )
+
+
+def test_pallas_dp_indivisible_batch_falls_back():
+    """batch % data-axis != 0 -> the epoch quietly takes the XLA step."""
+    from torchrecsys_tpu.parallel import make_mesh
+
+    store = _store(n=500)
+    mesh = make_mesh(data=8, model=1)
+    cfg = TrainConfig(batch_size=100, learning_rate=0.05,
+                      dynamic_neg_sampling=True, pallas_step=True)
+    t, s, l = _run_epochs(store, "linear", cfg, mesh=mesh)
+    assert np.isfinite(l).all()
 
 
 def test_pack_unpack_roundtrip():

@@ -196,6 +196,8 @@ class RecSys:
                     self.store.schema.num_items,
                     self.trainer.feature_tables(self.store),
                     ks=tuple(sorted(set(rank_ks))),
+                    item_chunk=None,
+                    batch_size=batch_size,
                 )
             )
         return {m: out[m] for m in eval_metrics}
@@ -219,9 +221,13 @@ class RecSys:
         assert self.state is not None, "call fit() first"
         scalar = not isinstance(user_id, (list, tuple, np.ndarray))
         users_raw = [user_id] if scalar else list(user_id)
-        rows = np.asarray(
-            [self.store.user_encoder.encode_one(u) for u in users_raw], np.int32
-        )
+        try:
+            rows = np.asarray(
+                [self.store.user_encoder.encode_one(u) for u in users_raw],
+                np.int32,
+            )
+        except KeyError as e:
+            raise KeyError(f"predict: unknown user_id — {e.args[0]}") from None
         feat = self.trainer.feature_tables(self.store)
         params = {"tables": self.state["tables"], "dense": self.state["dense"]}
         _, ids = catalog_topk(

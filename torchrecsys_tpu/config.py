@@ -118,7 +118,11 @@ class TrainConfig:
     fused_embedding_update: bool = True
     # Run the whole train step (score -> loss -> backward -> adagrad math) as
     # ONE Pallas kernel over packed (rows, 128) tables when the model/config
-    # supports it (Linear/FM without metadata, rowwise_adagrad, single
-    # device) — see ops/fused_pairwise.py. Falls back to the XLA step
-    # transparently when inapplicable.
-    pallas_step: bool = True
+    # supports it (Linear/FM without metadata, rowwise_adagrad, f32 params
+    # AND f32 compute) — see ops/fused_pairwise.py. Under a mesh with an
+    # unsharded 'model' axis the kernel runs data-parallel via shard_map.
+    #   "auto"  (default): kernel on TPU, XLA step on other backends —
+    #           Pallas interpret mode exists for parity testing, not speed.
+    #   True:   force the kernel wherever applicable (interpret off-TPU).
+    #   False:  always the XLA step.
+    pallas_step: Any = "auto"

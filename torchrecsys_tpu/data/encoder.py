@@ -55,7 +55,16 @@ class IdEncoder:
         return out
 
     def encode_one(self, value: Any) -> int:
-        return self._to_index[value]
+        try:
+            return self._to_index[value]
+        except KeyError:
+            sample = ", ".join(repr(v) for v in self._to_raw[:5])
+            raise KeyError(
+                f"unknown id {value!r}: not among the {len(self._to_raw)} raw "
+                f"ids this encoder was built from (e.g. {sample}). Ids are "
+                "matched by exact value and type — an int 3 does not match a "
+                "string '3'."
+            ) from None
 
     def decode(self, indices: Sequence[int]) -> List[Any]:
         to_raw = self._to_raw

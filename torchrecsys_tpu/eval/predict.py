@@ -157,7 +157,8 @@ def ranking_eval(
     feat: Optional[Features] = None,
     ks: Tuple[int, ...] = (10,),
     user_chunk: int = 512,
-    item_chunk: int = 4096,
+    item_chunk: Optional[int] = 4096,
+    batch_size: Optional[int] = None,
 ) -> Dict[str, float]:
     """Per-user recall@k / precision@k / hit_rate@k over a test split.
 
@@ -173,7 +174,13 @@ def ranking_eval(
       (Metrics.hit_rate semantics, evaluate/metrics.py:6-20)
 
     Items are NOT filtered by train-set membership, matching the reference.
+
+    ``batch_size`` (the facade's ``evaluate(batch_size=...)`` knob,
+    reference model.py:292) sets the item-chunk width of the chunked scorer,
+    mirroring the reference's loader batch; ``item_chunk`` overrides it.
     """
+    if item_chunk is None:
+        item_chunk = batch_size or 4096
     max_k = min(max(ks), num_items)
     uniq, inv = np.unique(np.asarray(test_users), return_inverse=True)
     topk_parts = []

@@ -219,12 +219,24 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _pallas_pairwise(self) -> bool:
-        """True when the epoch can use the fused Pallas train kernel."""
+        """True when the epoch can use the fused Pallas train kernel.
+
+        ``pallas_step="auto"`` (default) restricts the kernel to real TPUs:
+        off-TPU it would run in Pallas interpret mode, which simulates the
+        kernel op-by-op and is *slower* than the XLA step it replaces —
+        interpret mode exists for parity tests (``pallas_step=True`` forces
+        it on), not for performance."""
         from torchrecsys_tpu.ops.fused_pairwise import pairwise_kernel_applicable
 
-        return self.cfg.pallas_step and pairwise_kernel_applicable(
-            self.model, self.cfg, self.mesh
-        )
+        mode = self.cfg.pallas_step
+        if mode is True:
+            pass
+        elif mode == "auto":
+            if jax.default_backend() != "tpu":
+                return False
+        else:
+            return False
+        return pairwise_kernel_applicable(self.model, self.cfg, self.mesh)
 
     # ------------------------------------------------------------------
     def _epoch_fn(
@@ -285,8 +297,14 @@ class Trainer:
 
         # Fully fused Pallas step (Linear/FM without metadata): the whole
         # score -> loss -> backward -> adagrad chain is one kernel over a
-        # packed (rows, 128) layout — see ops/fused_pairwise.py.
-        if fused and self._pallas_pairwise():
+        # packed (rows, 128) layout — see ops/fused_pairwise.py. Under a mesh
+        # the kernel runs data-parallel (batch sharded over 'data', update
+        # rows all-gathered, identical scatters keep tables replicated); a
+        # batch that doesn't divide the 'data' axis falls back to XLA.
+        use_pallas = fused and self._pallas_pairwise()
+        if use_pallas and self.mesh is not None and b % self.mesh.shape["data"]:
+            use_pallas = False
+        if use_pallas:
             from torchrecsys_tpu.ops import fused_pairwise as fp
 
             d = self.model.cfg.n_factors
@@ -300,6 +318,7 @@ class Trainer:
             )
             interpret = jax.default_backend() != "tpu"
             cfg = self.cfg
+            mesh = self.mesh
 
             def body_pl(st, batch):
                 w = batch.get("_w")
@@ -311,13 +330,22 @@ class Trainer:
                     neg = sample_negatives(
                         k_neg, pos, self.model.schema.num_items, cfg.avoid_collisions
                     )
-                nu, ni, loss = fp.fused_pairwise_step(
-                    st["tables"]["user"], st["tables"]["item"],
-                    user, pos, neg, w,
+                kw = dict(
                     d=d, lr=cfg.learning_rate, margin=cfg.margin,
                     loss_kind=cfg.loss, sigmoid=self.model.pairwise_sigmoid,
                     interpret=interpret,
                 )
+                if mesh is None:
+                    nu, ni, loss = fp.fused_pairwise_step(
+                        st["tables"]["user"], st["tables"]["item"],
+                        user, pos, neg, w, **kw,
+                    )
+                else:
+                    nu, ni, loss = fp.fused_pairwise_step_dp(
+                        mesh,
+                        st["tables"]["user"], st["tables"]["item"],
+                        user, pos, neg, w, **kw,
+                    )
                 st = dict(st, tables={"user": nu, "item": ni}, step=st["step"] + 1)
                 return st, loss
 
@@ -404,7 +432,9 @@ class Trainer:
         runs, incremental training) skip the host->HBM transfer entirely
         (~80 MB at 10M rows over the tunnel).
         """
-        key = (id(store), store.num_train)
+        # Keyed on the store's process-unique token — NOT id(store), which a
+        # new store can silently reuse after the old one is collected.
+        key = (store.token, store.num_train)
         if getattr(self, "_data_cache_key", None) != key:
             self._data_cache = {
                 k: jnp.asarray(v) for k, v in store.train_arrays().items()
