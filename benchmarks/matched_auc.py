@@ -1,5 +1,6 @@
 """Matched-AUC comparison: the import-patched reference vs this framework on
-the SAME structured dataset (the bench.py generator at CPU-feasible scale).
+the SAME structured dataset (the benchmarks/scale_10m.py generator — also
+inlined in bench.py — at CPU-feasible scale).
 
 The round-1 headline (207x examples/s) was a throughput claim only; this
 script anchors it on quality: both frameworks train an MLP [1024,128]+BN
@@ -35,7 +36,7 @@ N_USERS, N_ITEMS, N_ROWS = 3_000, 1_000, 100_000
 
 
 def structured_interactions(n_users, n_items, n, seed=0):
-    """Same generator as bench.py:41-53 (block-preference signal)."""
+    """Same generator as benchmarks/scale_10m.py (block-preference signal)."""
     r = np.random.default_rng(seed)
     blocks = 8
     users = r.integers(0, n_users, n).astype(np.int64)
@@ -48,14 +49,29 @@ def structured_interactions(n_users, n_items, n, seed=0):
 
 
 def patched_reference_dir() -> str:
-    """Copy /root/reference to a temp dir with the one-line import fix."""
+    """Copy /root/reference to a temp dir with the one-line import fix.
+
+    The copy is re-made whenever the source tree looks newer (max mtime of
+    its .py files) than the cached copy, so a changed /root/reference can
+    never be silently benchmarked from a stale snapshot."""
+    src_root = "/root/reference/torchrecsys"
+    src_mtime = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, files in os.walk(src_root)
+        for f in files
+        if f.endswith(".py")
+    )
     dst = os.path.join(tempfile.gettempdir(), "torchrecsys_ref_patched")
-    if not os.path.isdir(os.path.join(dst, "torchrecsys")):
+    stamp = os.path.join(dst, ".src_mtime")
+    cached = None
+    if os.path.isfile(stamp):
+        with open(stamp) as f:
+            cached = f.read().strip()
+    if cached != repr(src_mtime):
+        shutil.rmtree(dst, ignore_errors=True)
         os.makedirs(dst, exist_ok=True)
         shutil.copytree(
-            "/root/reference/torchrecsys",
-            os.path.join(dst, "torchrecsys"),
-            dirs_exist_ok=True,
+            src_root, os.path.join(dst, "torchrecsys"), dirs_exist_ok=True
         )
         mlp = os.path.join(dst, "torchrecsys", "collaborative", "mlp.py")
         with open(mlp) as f:
@@ -63,6 +79,8 @@ def patched_reference_dir() -> str:
         if "from typing import" not in src:
             with open(mlp, "w") as f:
                 f.write("from typing import List\n" + src)
+        with open(stamp, "w") as f:
+            f.write(repr(src_mtime))
     return dst
 
 

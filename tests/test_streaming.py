@@ -24,12 +24,19 @@ def test_superbatch_stream_covers_everything_once():
     assert order1 != order2 or stream.num_super == 1
 
 
-def test_superbatch_drops_remainder_evenly():
+def test_superbatch_remainder_rows_train_too():
+    """The trailing partial chunk is yielded (resident-path contract: every
+    row trains once per epoch; VERDICT r2 weak #5 fixed). At most two chunk
+    shapes appear, so at most two programs ever compile."""
     arrays = {"x": np.arange(1003, dtype=np.int32)}
     stream = SuperBatchStream(arrays, superbatch_size=250, seed=0)
-    assert stream.num_super == 4
-    total = sum(sb["x"].shape[0] for sb in stream.epoch())
-    assert total == 1000
+    assert stream.num_super == 5
+    chunks = [np.asarray(sb["x"]) for sb in stream.epoch()]
+    assert sorted(np.concatenate(chunks).tolist()) == list(range(1003))
+    assert sorted(c.shape[0] for c in chunks) == [3, 250, 250, 250, 250]
+    # fixed chunk boundaries: the tail rows always travel together
+    tail = next(c for c in chunks if c.shape[0] == 3)
+    assert tail.tolist() == [1000, 1001, 1002]
 
 
 def test_fit_streaming_learns_like_fit():

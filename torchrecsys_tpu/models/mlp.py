@@ -118,8 +118,14 @@ class MLPModel(RecModel):
                 bn_p = dense["bn"][li]
                 bn_s = state["bn"][li]
                 if train:
-                    mean = jnp.mean(x.astype(jnp.float32), axis=0)
-                    var = jnp.var(x.astype(jnp.float32), axis=0)
+                    # One pass over x: mean and E[x^2] reduce in f32 without
+                    # materializing an f32 copy of the (B, W) activation
+                    # (jnp.var would read x twice); var = E[x^2] - mean^2 is
+                    # the standard BN formulation (bf16 inputs, f32
+                    # accumulation — cancellation is benign at BN scales).
+                    mean = jnp.mean(x, axis=0, dtype=jnp.float32)
+                    msq = jnp.mean(jax.lax.square(x), axis=0, dtype=jnp.float32)
+                    var = jnp.maximum(msq - jax.lax.square(mean), 0.0)
                     n = x.shape[0]
                     unbiased = var * (n / max(n - 1, 1))
                     new_bn.append(

@@ -174,10 +174,11 @@ def _pairwise_kernel(
     loss_ref[0, 0] = loss_scr[0, 0]
 
     # ---- backward (closed form) + rowwise adagrad (train/optim.py) -------
-    # The XLA fused-layout path gathers each user row TWICE per batch row
-    # (once in the positive half of the paired side, once in the negative —
-    # trainer._paired_side), so it applies two per-occurrence adagrad updates
-    # each scaled by rsqrt(acc_old + own msq). Reproduced exactly here.
+    # The XLA fused-layout path gathers each pair's user row ONCE and tiles
+    # it across the positive/negative halves (trainer._step_impl), so the
+    # user gradient arrives combined (gp*pv + gn*nv) and adagrad sees one
+    # occurrence — dense-autograd semantics. Reproduced exactly here. The
+    # positive and negative item rows remain separate occurrences.
     def upd(occurrences, acc, bias_occurrences, bacc):
         dvec = 0.0
         accinc = 0.0
@@ -196,7 +197,7 @@ def _pairwise_kernel(
         out = out + jnp.where(col == d + 2, baccinc, 0.0)
         return out
 
-    uo_ref[:] = upd([gp * pv, gn * nv], acc_u, [gp, gn], bacc_u)
+    uo_ref[:] = upd([gp * pv + gn * nv], acc_u, [gp + gn], bacc_u)
     po_ref[:] = upd([gp * uv], acc_p, [gp], bacc_p)
     no_ref[:] = upd([gn * uv], acc_n, [gn], bacc_n)
 

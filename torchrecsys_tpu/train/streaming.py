@@ -45,13 +45,21 @@ class SuperBatchStream:
         if not all(v.shape[0] == self.n for v in arrays.values()):
             raise ValueError("array lengths differ")
         self.sb = min(superbatch_size, self.n)
-        self.num_super = self.n // self.sb  # equal-size; remainder dropped
+        # Chunk boundaries are FIXED (chunk i = rows [i*sb, min((i+1)*sb, n)))
+        # so the trailing partial chunk trains too — every row exactly once
+        # per epoch, like the resident path's mask-padded remainder batch
+        # (train/trainer.py). Only chunk ORDER is reshuffled per epoch;
+        # within-chunk randomness comes from the device-side shuffle inside
+        # the epoch scan. At most two program shapes compile: sb and n % sb.
+        self.num_super = -(-self.n // self.sb)
         self.arrays = arrays
         self.rng = np.random.default_rng(seed)
         self.sharding = sharding
 
-    def _put(self, start: int) -> Dict[str, jax.Array]:
-        chunk = {k: v[start : start + self.sb] for k, v in self.arrays.items()}
+    def _put(self, chunk_idx: int) -> Dict[str, jax.Array]:
+        start = chunk_idx * self.sb
+        stop = min(start + self.sb, self.n)
+        chunk = {k: v[start:stop] for k, v in self.arrays.items()}
         if self.sharding is not None:
             return {k: jax.device_put(v, self.sharding) for k, v in chunk.items()}
         return {k: jax.device_put(v) for k, v in chunk.items()}
@@ -59,12 +67,12 @@ class SuperBatchStream:
     def epoch(self) -> Iterator[Dict[str, jax.Array]]:
         """Yield all super-batches once, in fresh random order, with the
         next transfer in flight while the caller consumes the current one."""
-        starts = self.rng.permutation(self.num_super) * self.sb
-        pending = self._put(int(starts[0]))
+        order = self.rng.permutation(self.num_super)
+        pending = self._put(int(order[0]))
         for i in range(self.num_super):
             current = pending
             if i + 1 < self.num_super:
-                pending = self._put(int(starts[i + 1]))  # async H2D prefetch
+                pending = self._put(int(order[i + 1]))  # async H2D prefetch
             yield current
 
 

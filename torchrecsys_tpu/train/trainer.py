@@ -158,7 +158,25 @@ class Trainer:
 
         gmap = model.gathers(side)
         tables = state["tables"]
-        raw = {k: jnp.take(tables[t], ids, axis=0) for k, (t, ids) in gmap.items()}
+        # User-keyed gather sites receive the duplicated ids concat([user,
+        # user]) that _paired_side built (the object itself — models pass
+        # batch["user_id"] through untouched). Gather those rows ONCE (B rows)
+        # and tile inside the loss; autograd then sums the two halves' grads
+        # into one (B, D) gradient and the scatter writes B rows instead of
+        # 2B — halving the user table's gather+scatter traffic. Row-wise
+        # adagrad consequently sees ONE occurrence with the summed gradient
+        # (dense-autograd semantics) instead of two half-gradients.
+        dup_uid = side["user_id"]
+        halved = frozenset(
+            k for k, (_, ids) in gmap.items() if ids is dup_uid
+        )
+        raw = {
+            k: jnp.take(tables[t], user if k in halved else ids, axis=0)
+            for k, (t, ids) in gmap.items()
+        }
+        gmap = {
+            k: (t, user if k in halved else ids) for k, (t, ids) in gmap.items()
+        }
         if fused:
             rows = {k: r[..., :-1] for k, r in raw.items()}
             acc_old = {k: r[..., -1] for k, r in raw.items()}
@@ -166,8 +184,12 @@ class Trainer:
             rows = raw
 
         def loss_from(rows_, dense_):
+            full = {
+                k: jnp.concatenate([v, v]) if k in halved else v
+                for k, v in rows_.items()
+            }
             scores, st = model.score_rows(
-                dense_, state["model_state"], rows_, side, train=True
+                dense_, state["model_state"], full, side, train=True
             )
             if w is None:
                 return self.loss_fn(scores[:b], scores[b:], cfg.margin), st
