@@ -339,3 +339,76 @@ def test_remainder_rows_train():
             axis=1,
         )
         assert int((~changed).sum()) == n_untrained, (flag, (~changed).sum())
+
+
+class TestSortBatchByUser:
+    """TrainConfig.sort_batch_by_user: the epoch builder sorts each batch's
+    rows by user id so the user-table scatter can use XLA's merge lowering
+    (indices_are_sorted=True). Row order within a batch is semantically
+    irrelevant, so training outcomes must be unchanged up to float
+    reassociation."""
+
+    def _fit(self, sort, dynamic=False, batch=64, epochs=2):
+        data = make_learnable_interactions(n=1000)
+        store = prepare_data(
+            data, "user_id", "item_id", dynamic_neg_sampling=dynamic
+        )
+        model = build_model(store.schema, ModelConfig(net_type="mlp", n_factors=8,
+                                                      hidden_layers=(16,)))
+        trainer = Trainer(
+            model,
+            TrainConfig(batch_size=batch, learning_rate=0.05,
+                        dynamic_neg_sampling=dynamic,
+                        sort_batch_by_user=sort),
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, losses = trainer.fit(state, store, epochs=epochs, verbose=False)
+        return trainer, store, state, losses
+
+    def test_static_negatives_equivalent(self):
+        """Static negatives: each batch holds the identical (u, p, n) rows in
+        either mode, so per-epoch losses agree to float-reassociation noise."""
+        _, store_a, state_a, losses_a = self._fit(sort=True)
+        tr_b, store_b, state_b, losses_b = self._fit(sort=False)
+        np.testing.assert_allclose(losses_a, losses_b, rtol=2e-4, atol=2e-5)
+        m_a = tr_b.evaluate(state_a, store_a, verbose=False)
+        m_b = tr_b.evaluate(state_b, store_b, verbose=False)
+        assert abs(m_a["auc"] - m_b["auc"]) < 0.02
+
+    def test_remainder_masking_survives_sort(self):
+        """Filler rows of the mask-padded final batch must stay zero-weighted
+        after the in-batch sort moves them (weights = flat < n)."""
+        n = 130  # batch 64 -> 2 full + 2-row remainder
+        data = {"user_id": np.arange(n), "item_id": np.arange(n) % 37}
+        store = prepare_data(data, "user_id", "item_id", split_ratio=1.0,
+                             dynamic_neg_sampling=True)
+        model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=8))
+        trainer = Trainer(model, TrainConfig(batch_size=64, learning_rate=0.1,
+                                             dynamic_neg_sampling=True,
+                                             sort_batch_by_user=True))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        p0, _ = model.init(jax.random.PRNGKey(0))
+        state, losses = trainer.fit(state, store, epochs=1, verbose=False)
+        assert np.isfinite(losses).all()
+        # every unique user trains exactly once per epoch
+        changed = ~np.all(
+            np.asarray(state["tables"]["user"])[:n]
+            == np.asarray(p0["tables"]["user"])[:n], axis=1)
+        assert int(changed.sum()) == n
+
+    def test_sorted_flag_scatter_exactness(self):
+        """apply_embedding_updates with sorted ids + the sorted_tables hint is
+        bitwise identical to the unhinted scatter."""
+        r, b, d = 50, 32, 8
+        key = jax.random.PRNGKey(1)
+        tables = {"user": jax.random.normal(key, (r, d))}
+        opt = init_embedding_opt("rowwise_adagrad", tables)
+        ids = jnp.sort(jax.random.randint(key, (b,), 0, r, jnp.int32))
+        g = jax.random.normal(jax.random.PRNGKey(2), (b, d))
+        out_a, st_a = apply_embedding_updates(
+            "rowwise_adagrad", 0.1, tables, opt, {"user": [(ids, g)]},
+            sorted_tables=frozenset({"user"}))
+        out_b, st_b = apply_embedding_updates(
+            "rowwise_adagrad", 0.1, tables, opt, {"user": [(ids, g)]})
+        np.testing.assert_array_equal(np.asarray(out_a["user"]), np.asarray(out_b["user"]))
+        np.testing.assert_array_equal(np.asarray(st_a["user"]["acc"]), np.asarray(st_b["user"]["acc"]))

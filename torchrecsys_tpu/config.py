@@ -126,3 +126,11 @@ class TrainConfig:
     #   True:   force the kernel wherever applicable (interpret off-TPU).
     #   False:  always the XLA step.
     pallas_step: Any = "auto"
+    # Sort each batch's rows by user id at epoch-build time. Row order within
+    # a batch is semantically irrelevant (the loss mean, batch-norm statistics
+    # and gradient sums are permutation-invariant), but sorted user ids let
+    # the user-table scatter-add run with XLA's merge lowering
+    # (indices_are_sorted=True): measured 443us -> 128us for an 8192-row
+    # scatter into a (100K, 128) f32 table on TPU v5e. Costs one in-batch
+    # argsort + take_along_axis per epoch (~2-3 ms per 10M rows).
+    sort_batch_by_user: bool = True

@@ -280,7 +280,8 @@ def _pairwise_updates(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "d", "lr", "margin", "eps", "loss_kind", "sigmoid", "interpret"
+        "d", "lr", "margin", "eps", "loss_kind", "sigmoid", "interpret",
+        "user_sorted",
     ),
 )
 def fused_pairwise_step(
@@ -298,11 +299,16 @@ def fused_pairwise_step(
     sigmoid: bool,
     eps: float = 1e-10,
     interpret: bool = False,
+    user_sorted: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused training step on packed tables (single device).
 
     Returns ``(new_user_pk, new_item_pk, loss)`` where loss is the weighted
     mean per-row loss (identical semantics to the XLA step).
+
+    ``user_sorted=True`` asserts ``user_ids`` is non-decreasing (the epoch
+    builder's in-batch sort, TrainConfig.sort_batch_by_user), switching the
+    user scatter to XLA's fast merge lowering.
 
     ``lr``/``margin``/``eps`` are static (baked into the kernel) — fine for
     the constant-lr TrainConfig; a future lr *schedule* should pass them as
@@ -317,7 +323,7 @@ def fused_pairwise_step(
         d=d, lr=lr, margin=margin, loss_kind=loss_kind, sigmoid=sigmoid,
         eps=eps, interpret=interpret,
     )
-    new_user = user_pk.at[user_ids].add(upd_u)
+    new_user = user_pk.at[user_ids].add(upd_u, indices_are_sorted=user_sorted)
     new_item = item_pk.at[jnp.concatenate([pos_ids, neg_ids])].add(
         jnp.concatenate([upd_p, upd_n])
     )
@@ -341,8 +347,14 @@ def fused_pairwise_step_dp(
     sigmoid: bool,
     eps: float = 1e-10,
     interpret: bool = False,
+    user_sorted: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Data-parallel fused step over the mesh's ``'data'`` axis.
+
+    ``user_sorted`` is accepted for signature parity with the single-device
+    step but intentionally unused: the all-gathered global id vector is a
+    concatenation of sorted shards — piecewise sorted, not sorted — so the
+    scatter cannot take the merge lowering here.
 
     Tables stay replicated across ``'data'`` (the ``'model'`` axis must be
     size 1 — enforced by ``pairwise_kernel_applicable``); the batch is

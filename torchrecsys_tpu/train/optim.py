@@ -53,6 +53,7 @@ def apply_embedding_updates(
     opt_state: Dict[str, Any],
     grads: Dict[str, RowGrads],
     eps: float = 1e-10,
+    sorted_tables: frozenset = frozenset(),
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
     """Scatter per-row gradients into each table.
 
@@ -60,6 +61,10 @@ def apply_embedding_updates(
     (e.g. the positive-item and negative-item scores both touch the ``item``
     table). ids may be multi-dimensional (metadata gathers are (B, W));
     row_grads carries one trailing dim of the table's embedding width.
+
+    ``sorted_tables`` names tables whose (single-site) ids arrive sorted —
+    the epoch builder's in-batch sort by user id (TrainConfig.
+    sort_batch_by_user) — letting the scatter use XLA's fast merge lowering.
     """
     new_tables = dict(tables)
     new_state = {k: dict(v) for k, v in opt_state.items()}
@@ -68,13 +73,14 @@ def apply_embedding_updates(
             continue
         table = new_tables[name]
         d = table.shape[-1]
+        srt = name in sorted_tables and len(sites) == 1
         ids = jnp.concatenate([jnp.reshape(i, (-1,)) for i, _ in sites])
         g = jnp.concatenate(
             [jnp.reshape(gr, (-1, d)).astype(jnp.float32) for _, gr in sites]
         )
         if kind == "rowwise_adagrad":
             acc = new_state[name]["acc"]
-            acc = acc.at[ids].add(jnp.mean(g * g, axis=-1))
+            acc = acc.at[ids].add(jnp.mean(g * g, axis=-1), indices_are_sorted=srt)
             scale = jax.lax.rsqrt(acc[ids] + eps)
             delta = (-lr * g * scale[:, None]).astype(table.dtype)
             new_state[name]["acc"] = acc
@@ -82,7 +88,7 @@ def apply_embedding_updates(
             delta = (-lr * g).astype(table.dtype)
         else:
             raise ValueError(f"unknown embedding optimizer {kind!r}")
-        new_tables[name] = table.at[ids].add(delta)
+        new_tables[name] = table.at[ids].add(delta, indices_are_sorted=srt)
     return new_tables, new_state
 
 
@@ -145,16 +151,18 @@ def apply_embedding_updates_fused(
     aug_tables: Dict[str, jnp.ndarray],
     grads: Dict[str, FusedRowGrads],
     eps: float = 1e-10,
+    sorted_tables: frozenset = frozenset(),
 ) -> Dict[str, jnp.ndarray]:
     """Rowwise-adagrad step on augmented tables: ONE row scatter per table
     carries both the parameter delta (cols 0..D-1) and the accumulator
-    increment (col D)."""
+    increment (col D). ``sorted_tables`` as in :func:`apply_embedding_updates`."""
     new_tables = dict(aug_tables)
     for name, sites in grads.items():
         if not sites:
             continue
         aug = new_tables[name]
         d = aug.shape[-1] - 1
+        srt = name in sorted_tables and len(sites) == 1
         ids = jnp.concatenate([jnp.reshape(i, (-1,)) for i, _, _ in sites])
         g = jnp.concatenate(
             [jnp.reshape(gr, (-1, d)).astype(jnp.float32) for _, gr, _ in sites]
@@ -165,7 +173,9 @@ def apply_embedding_updates_fused(
         msq = jnp.mean(g * g, axis=-1)
         scale = jax.lax.rsqrt(acc_old + msq + eps)
         upd = jnp.concatenate([-lr * g * scale[:, None], msq[:, None]], axis=1)
-        new_tables[name] = aug.at[ids].add(upd.astype(aug.dtype))
+        new_tables[name] = aug.at[ids].add(
+            upd.astype(aug.dtype), indices_are_sorted=srt
+        )
     return new_tables
 
 

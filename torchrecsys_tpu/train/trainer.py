@@ -131,6 +131,7 @@ class Trainer:
         batch: Dict[str, jnp.ndarray],
         feat: Optional[Dict[str, jnp.ndarray]],
         fused: bool,
+        user_sorted: bool = False,
     ) -> Tuple[TrainState, jnp.ndarray]:
         """Step body. ``fused=True`` means ``state['tables']`` holds the
         (R, D+1) augmented layout (rowwise-adagrad accumulator as the last
@@ -202,6 +203,18 @@ class Trainer:
             loss_from, argnums=(0, 1), has_aux=True
         )(rows, state["dense"])
 
+        # Tables whose every gather site receives the (sorted, halved) user
+        # ids can scatter with indices_are_sorted=True — see
+        # TrainConfig.sort_batch_by_user.
+        if user_sorted:
+            by_table: Dict[str, List[bool]] = {}
+            for k, (tname, _) in gmap.items():
+                by_table.setdefault(tname, []).append(k in halved)
+            sorted_tables = frozenset(
+                t for t, hs in by_table.items() if hs and all(hs)
+            )
+        else:
+            sorted_tables = frozenset()
         if fused:
             per_table_f: Dict[str, List] = {}
             for k, (tname, ids) in gmap.items():
@@ -209,7 +222,8 @@ class Trainer:
                     (ids, g_rows[k], acc_old[k])
                 )
             new_tables = apply_embedding_updates_fused(
-                cfg.learning_rate, tables, per_table_f
+                cfg.learning_rate, tables, per_table_f,
+                sorted_tables=sorted_tables,
             )
             new_emb_opt = state["emb_opt"]
         else:
@@ -222,6 +236,7 @@ class Trainer:
                 tables,
                 state["emb_opt"],
                 per_table,
+                sorted_tables=sorted_tables,
             )
         updates, new_dense_opt = self.dense_tx.update(
             g_dense, state["dense_opt"], state["dense"]
@@ -298,17 +313,43 @@ class Trainer:
         packable = sorted(
             k for k, v in data.items() if v.ndim == 1 and v.dtype == jnp.int32
         )
-        batches = {
-            k: jnp.take(v, perm, axis=0).reshape((nb, b) + v.shape[1:])
-            for k, v in data.items()
-            if k not in packable
-        }
+        # In-batch sort by user id (TrainConfig.sort_batch_by_user): row order
+        # within a batch is semantically irrelevant — the loss mean, BN batch
+        # statistics, gradient sums and the negatives' distribution are all
+        # permutation-invariant — but sorted user ids let the user-table
+        # scatter-add take XLA's merge lowering (3.5x faster, see
+        # train/optim.py) and give the user gather HBM locality. Applied as a
+        # second flat ROW gather of the packed matrix (take_along_axis on the
+        # (nb, b) views lowers to a scalar gather — measured ~116 ms per
+        # column at 10M rows vs ~64 ms for one packed row gather).
+        user_sorted = bool(self.cfg.sort_batch_by_user) and "user_id" in packable
+        flat = None
+        batches = {}
         if packable:
             packed = jnp.stack([data[k] for k in packable], axis=1)
             shuf = jnp.take(packed, perm, axis=0)
+            if user_sorted:
+                ucol = packable.index("user_id")
+                order = jnp.argsort(shuf[:, ucol].reshape(nb, b), axis=1)
+                flat = (order + jnp.arange(nb)[:, None] * b).reshape(-1)
+                shuf = jnp.take(shuf, flat, axis=0)
             for i, k in enumerate(packable):
                 batches[k] = shuf[:, i].reshape(nb, b)
+        else:
+            user_sorted = False
+        for k, v in data.items():
+            if k in packable:
+                continue
+            rows = jnp.take(v, perm, axis=0)
+            if flat is not None:
+                rows = jnp.take(rows, flat, axis=0)
+            batches[k] = rows.reshape((nb, b) + v.shape[1:])
         if weights is not None:
+            if flat is not None:
+                # validity rides the sort for free: the row now at slot j
+                # came from permutation position flat[j], which is a filler
+                # row iff flat[j] >= n.
+                weights = (flat < n).astype(jnp.float32).reshape(nb, b)
             batches["_w"] = weights
 
         # Switch to the augmented (R, D+1) table layout for the whole epoch
@@ -355,7 +396,7 @@ class Trainer:
                 kw = dict(
                     d=d, lr=cfg.learning_rate, margin=cfg.margin,
                     loss_kind=cfg.loss, sigmoid=self.model.pairwise_sigmoid,
-                    interpret=interpret,
+                    interpret=interpret, user_sorted=user_sorted,
                 )
                 if mesh is None:
                     nu, ni, loss = fp.fused_pairwise_step(
@@ -386,7 +427,9 @@ class Trainer:
             )
 
         def body(st, batch):
-            st, loss = self._step_impl(st, batch, feat, fused=fused)
+            st, loss = self._step_impl(
+                st, batch, feat, fused=fused, user_sorted=user_sorted
+            )
             return st, loss
 
         state, losses = jax.lax.scan(body, state, batches)
