@@ -1,27 +1,41 @@
-"""Headline benchmark: the BASELINE.md north-star workload — MLP two-tower
-training throughput on 10M interactions, one chip.
+"""Driver benchmark: one JSON line per metric (VERDICT r2 task #2).
 
-Reference baseline (BASELINE.md): the reference's MLP [1024,128]+BN path
-sustains ~38K examples/s (torchrecsys/model.py:274-285, measured on the
-2-vCPU host; its throughput is model-compute-bound, so the 100K-row and
-10M-row workloads run at the same examples/s — verified on the 100K config,
-the largest that finishes in reasonable time on CPU).
+Metrics, in print order:
 
-Workload (BASELINE.json north star): 100K users x 100K items, 10M
-interactions with learnable block structure, MLP [1024,128]+BN n_factors=80,
-dynamic uniform negatives, hinge loss, bfloat16 compute, batch 8192.
+1. ``mlp_10m_train_examples_per_sec`` — the BASELINE.md north star: MLP
+   [1024,128]+BN two-tower training throughput on 10M interactions, one
+   chip, vs the reference's ~38K examples/s
+   (torchrecsys/model.py:274-285 + mlp.py:88-114, measured on the 2-vCPU
+   host; throughput is model-compute-bound, so the 100K-row and 10M-row
+   workloads run at the same examples/s).
+2. ``linear_10m_pallas_step_speedup_vs_xla`` — the fused Pallas pairwise
+   train kernel (ops/fused_pairwise.py) vs the XLA step it replaces, same
+   10M workload with a Linear model. ``vs_baseline`` is the speedup.
+3. ``linear_10m_pallas_train_examples_per_sec`` — absolute Linear
+   throughput with the kernel, vs the reference Linear's ~274K ex/s.
+4. ``predict_qps_linear_1k`` — batched full-catalog top-k queries/s at the
+   reference's 1K-item scale, vs its ~770 q/s (model.py:341-452 loop,
+   BASELINE.md).
+5. ``predict_qps_linear_1m`` — the same at a 1M-item catalog via the fused
+   Pallas score+top-k kernel (ops/dot_topk.py); no reference counterpart
+   survives at this scale (its per-chunk pandas predict would take minutes
+   per query), so ``vs_baseline`` extrapolates against 770 q/s.
+
+Workload for 1-3 (BASELINE.json north star): 100K users x 100K items, 10M
+interactions with learnable block structure, dynamic uniform negatives,
+hinge loss, batch 8192. MLP adds [1024,128]+BN and bfloat16 compute.
 Steady-state epochs after one warmup (compile) epoch.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 # Persistent compile cache: cold XLA compiles over the TPU tunnel can take
@@ -32,9 +46,11 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_MLP_EXAMPLES_PER_SEC = 38_000.0
+BASELINE_LINEAR_EXAMPLES_PER_SEC = 274_000.0
+BASELINE_PREDICT_QPS_1K = 770.0
 
 N_USERS, N_ITEMS, N_INTERACTIONS = 100_000, 100_000, 10_000_000
-BATCH = 8192
+BATCH = int(os.environ.get("BENCH_BATCH", 8192))
 TIMED_EPOCHS = 3
 
 
@@ -53,14 +69,36 @@ def structured_interactions(n_users: int, n_items: int, n: int, seed: int = 0):
     return {"user_id": users, "item_id": items.astype(np.int64)}
 
 
-def main() -> None:
+def emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 1),
+                "unit": unit,
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+def train_throughput(trainer, store, state) -> float:
+    """Steady-state examples/s over TIMED_EPOCHS after a compile epoch."""
+    state, _ = trainer.fit(state, store, epochs=1, verbose=False)
+    jax.block_until_ready(state["tables"])
+    nb = -(-store.num_train // trainer.cfg.batch_size)
+    examples = TIMED_EPOCHS * nb * trainer.cfg.batch_size
+    t0 = time.perf_counter()
+    state, _ = trainer.fit(state, store, epochs=TIMED_EPOCHS, verbose=False)
+    jax.block_until_ready(state["tables"])
+    return examples / (time.perf_counter() - t0)
+
+
+def bench_mlp_north_star(store) -> None:
     from torchrecsys_tpu.config import ModelConfig, TrainConfig
-    from torchrecsys_tpu.data import prepare_data
     from torchrecsys_tpu.models import build_model
     from torchrecsys_tpu.train import Trainer
-
-    data = structured_interactions(N_USERS, N_ITEMS, N_INTERACTIONS)
-    store = prepare_data(data, "user_id", "item_id", dynamic_neg_sampling=True)
 
     model = build_model(
         store.schema,
@@ -80,29 +118,82 @@ def main() -> None:
     )
     trainer = Trainer(model, cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
-
-    # warmup (compile + first execution + host->HBM upload)
-    state, _ = trainer.fit(state, store, epochs=1, verbose=False)
-    jax.block_until_ready(state["tables"])
-
-    nb = store.num_train // cfg.batch_size
-    examples = TIMED_EPOCHS * nb * cfg.batch_size
-    t0 = time.perf_counter()
-    state, _ = trainer.fit(state, store, epochs=TIMED_EPOCHS, verbose=False)
-    jax.block_until_ready(state["tables"])
-    dt = time.perf_counter() - t0
-
-    value = examples / dt
-    print(
-        json.dumps(
-            {
-                "metric": "mlp_10m_train_examples_per_sec",
-                "value": round(value, 1),
-                "unit": "examples/s",
-                "vs_baseline": round(value / BASELINE_MLP_EXAMPLES_PER_SEC, 2),
-            }
-        )
+    eps = train_throughput(trainer, store, state)
+    emit(
+        "mlp_10m_train_examples_per_sec",
+        eps,
+        "examples/s",
+        eps / BASELINE_MLP_EXAMPLES_PER_SEC,
     )
+
+
+def bench_linear_pallas_vs_xla(store) -> None:
+    from torchrecsys_tpu.config import ModelConfig, TrainConfig
+    from torchrecsys_tpu.models import build_model
+    from torchrecsys_tpu.train import Trainer
+
+    model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=80))
+    cfg = TrainConfig(
+        batch_size=BATCH,
+        learning_rate=0.05,
+        dynamic_neg_sampling=True,
+        loss="hinge",
+    )
+    t_pl = Trainer(model, cfg)
+    eps_pl = train_throughput(t_pl, store, t_pl.init_state(jax.random.PRNGKey(0)))
+    t_x = Trainer(model, dataclasses.replace(cfg, pallas_step=False))
+    eps_x = train_throughput(t_x, store, t_x.init_state(jax.random.PRNGKey(0)))
+    emit(
+        "linear_10m_pallas_step_speedup_vs_xla",
+        eps_pl / eps_x,
+        "x (pallas examples/s over xla examples/s)",
+        eps_pl / eps_x,
+    )
+    emit(
+        "linear_10m_pallas_train_examples_per_sec",
+        eps_pl,
+        "examples/s",
+        eps_pl / BASELINE_LINEAR_EXAMPLES_PER_SEC,
+    )
+
+
+def bench_predict_qps(n_users: int, n_items: int, batch_users: int, name: str,
+                      vs_baseline_scale: float) -> None:
+    from torchrecsys_tpu.config import DataSchema, ModelConfig
+    from torchrecsys_tpu.eval.predict import catalog_topk
+    from torchrecsys_tpu.models import build_model
+
+    schema = DataSchema(num_users=n_users, num_items=n_items)
+    model = build_model(schema, ModelConfig(net_type="linear", n_factors=80))
+    params, state = model.init(jax.random.PRNGKey(0))
+    user_ids = jnp.arange(batch_users, dtype=jnp.int32) % n_users
+
+    def run():
+        return catalog_topk(model, params, state, user_ids, n_items, top_k=10)
+
+    scores, _ = run()
+    _ = np.asarray(scores)  # drain compile + warmup
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        scores, _ = run()
+    _ = np.asarray(scores)  # single honest D2H sync
+    qps = batch_users / ((time.perf_counter() - t0) / reps)
+    emit(name, qps, "users/s (full-catalog top-10)", qps / vs_baseline_scale)
+
+
+def main() -> None:
+    from torchrecsys_tpu.data import prepare_data
+
+    data = structured_interactions(N_USERS, N_ITEMS, N_INTERACTIONS)
+    store = prepare_data(data, "user_id", "item_id", dynamic_neg_sampling=True)
+
+    bench_mlp_north_star(store)
+    bench_linear_pallas_vs_xla(store)
+    bench_predict_qps(3_000, 1_000, 4096, "predict_qps_linear_1k",
+                      BASELINE_PREDICT_QPS_1K)
+    bench_predict_qps(100_000, 1_000_000, 256, "predict_qps_linear_1m",
+                      BASELINE_PREDICT_QPS_1K)
 
 
 if __name__ == "__main__":
