@@ -125,6 +125,43 @@ class Trainer:
         sparse/dense updates. Pure; shared by the epoch scan and tests."""
         return self._step_impl(state, batch, feat, fused=False)
 
+    @staticmethod
+    def _apply_batch_order(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Apply the epoch builder's per-batch sort order (``_order``, rows
+        sorted by user id) to every per-row array. The int32 id columns (and
+        the f32 weight column, bitcast) ride ONE packed 2D row gather —
+        ~4 us at b=8192 vs ~50 us/step for reordering the whole epoch's
+        arrays with a second 10M-row flat gather."""
+        order = batch.get("_order")
+        if order is None:
+            return batch
+        batch = {k: v for k, v in batch.items() if k != "_order"}
+        ikeys = sorted(
+            k for k, v in batch.items()
+            if v.ndim == 1 and v.dtype == jnp.int32
+        )
+        fkeys = sorted(
+            k for k, v in batch.items()
+            if v.ndim == 1 and v.dtype == jnp.float32
+        )
+        cols = [batch[k] for k in ikeys] + [
+            jax.lax.bitcast_convert_type(batch[k], jnp.int32) for k in fkeys
+        ]
+        out = dict(batch)
+        if cols:
+            packed = jnp.stack(cols, axis=1)
+            s = jnp.take(packed, order, axis=0)
+            for i, k in enumerate(ikeys):
+                out[k] = s[:, i]
+            for j, k in enumerate(fkeys):
+                out[k] = jax.lax.bitcast_convert_type(
+                    s[:, len(ikeys) + j], jnp.float32
+                )
+        for k, v in batch.items():
+            if k not in ikeys and k not in fkeys:
+                out[k] = jnp.take(v, order, axis=0)
+        return out
+
     def _step_impl(
         self,
         state: TrainState,
@@ -138,6 +175,7 @@ class Trainer:
         column — see train/optim.py): the accumulator then rides the row
         gather and the single row scatter instead of separate 1D ops."""
         model, cfg = self.model, self.cfg
+        batch = self._apply_batch_order(batch)
         # Optional per-row weights: the mask-padded remainder batch
         # (drop_remainder=False) weights its filler rows 0 so they contribute
         # no gradient. Filler rows still enter batch-norm statistics of that
@@ -318,38 +356,32 @@ class Trainer:
         # statistics, gradient sums and the negatives' distribution are all
         # permutation-invariant — but sorted user ids let the user-table
         # scatter-add take XLA's merge lowering (3.5x faster, see
-        # train/optim.py) and give the user gather HBM locality. Applied as a
-        # second flat ROW gather of the packed matrix (take_along_axis on the
-        # (nb, b) views lowers to a scalar gather — measured ~116 ms per
-        # column at 10M rows vs ~64 ms for one packed row gather).
+        # train/optim.py) and give the user gather HBM locality. The argsort
+        # runs HERE, batched over the whole epoch (13 ms per 10M rows vs
+        # slow per-step 1D sorts); the cheap (b, K) REORDER runs inside each
+        # step (trainer._apply_batch_order, ~4 us) — reordering the epoch's
+        # arrays here instead would cost a second 10M-row flat gather
+        # (~64 ms; take_along_axis per column is worse still, ~116 ms each).
         user_sorted = bool(self.cfg.sort_batch_by_user) and "user_id" in packable
-        flat = None
         batches = {}
         if packable:
             packed = jnp.stack([data[k] for k in packable], axis=1)
             shuf = jnp.take(packed, perm, axis=0)
-            if user_sorted:
-                ucol = packable.index("user_id")
-                order = jnp.argsort(shuf[:, ucol].reshape(nb, b), axis=1)
-                flat = (order + jnp.arange(nb)[:, None] * b).reshape(-1)
-                shuf = jnp.take(shuf, flat, axis=0)
             for i, k in enumerate(packable):
                 batches[k] = shuf[:, i].reshape(nb, b)
+            if user_sorted:
+                batches["_order"] = jnp.argsort(
+                    batches["user_id"], axis=1
+                ).astype(jnp.int32)
         else:
             user_sorted = False
         for k, v in data.items():
             if k in packable:
                 continue
-            rows = jnp.take(v, perm, axis=0)
-            if flat is not None:
-                rows = jnp.take(rows, flat, axis=0)
-            batches[k] = rows.reshape((nb, b) + v.shape[1:])
+            batches[k] = jnp.take(v, perm, axis=0).reshape(
+                (nb, b) + v.shape[1:]
+            )
         if weights is not None:
-            if flat is not None:
-                # validity rides the sort for free: the row now at slot j
-                # came from permutation position flat[j], which is a filler
-                # row iff flat[j] >= n.
-                weights = (flat < n).astype(jnp.float32).reshape(nb, b)
             batches["_w"] = weights
 
         # Switch to the augmented (R, D+1) table layout for the whole epoch
@@ -384,6 +416,7 @@ class Trainer:
             mesh = self.mesh
 
             def body_pl(st, batch):
+                batch = self._apply_batch_order(batch)
                 w = batch.get("_w")
                 user, pos = batch["user_id"], batch["pos_item_id"]
                 if "neg_item_id" in batch:
