@@ -80,6 +80,20 @@ class ModelConfig:
     history_len: int = 20
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # set "bfloat16" for MXU-friendly compute
+    # Run the MLP tower's training forward/backward through the fused Pallas
+    # layer kernels (ops/fused_tower.py): matmul with the next layer's BN
+    # batch statistics accumulated in the epilogue, and all BN backward
+    # reductions fused into the recompute pass. Applies when compute is
+    # bfloat16, batch-norm is on, and the paired row count divides the tile.
+    #
+    # Default False: measured on TPU v5e at the north-star shapes the kernels
+    # TIE the XLA tower in isolation (318 vs 317 us fwd+bwd) but LOSE
+    # ~125 us/step inside the full train step — the opaque custom_vjp blocks
+    # XLA's cross-op fusion with the surrounding gathers/scatters/loss
+    # (benchmarks/PROFILE.md). Kept as an option (True enables; interpret
+    # mode off-TPU) for parity tests and future shapes where the tradeoff
+    # flips (deeper towers, wider layers).
+    pallas_tower: Any = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -110,6 +110,12 @@ class MLPModel(RecModel):
             parts.append(masked_mean(m, batch["meta_mask"][:, f, :]))
         x = jnp.concatenate(parts, axis=-1)
 
+        if train and cd == jnp.bfloat16:
+            from torchrecsys_tpu.ops.fused_tower import tower_applicable
+
+            if tower_applicable(self.cfg, self.schema, x.shape[0]):
+                return self._score_rows_fused(dense, state, x)
+
         use_bn = self.cfg.use_batch_norm
         new_bn = []
         for li, layer in enumerate(dense["layers"]):
@@ -143,3 +149,53 @@ class MLPModel(RecModel):
         score = x @ dense["out"]["w"].astype(cd) + dense["out"]["b"].astype(cd)
         new_state = {"bn": new_bn} if (use_bn and train) else state
         return score[:, 0].astype(jnp.float32), new_state
+
+    def _score_rows_fused(
+        self, dense: Any, state: State, x: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, State]:
+        """Training tower via the fused Pallas layer kernels
+        (ops/fused_tower.py): each hidden layer is one kernel per direction
+        — matmul with the NEXT layer's batch statistics accumulated in the
+        epilogue, BN backward reductions fused into the recompute pass.
+        Statistics/normalization math between layers is the same XLA code
+        path as the plain tower (mean/E[x^2] in f32, var = E[x^2]-mean^2,
+        torch-momentum running stats), so semantics match up to float
+        reassociation (parity tested)."""
+        from torchrecsys_tpu.ops import fused_tower as ft
+
+        cd = self.compute_dtype
+        n = x.shape[0]
+        interpret = ft.tower_interpret(self.cfg)
+        new_bn = []
+        bnvec = jnp.zeros((4, x.shape[1]), cd)
+        z = x
+        for li, layer in enumerate(dense["layers"]):
+            z, s, ss = ft.fused_layer(
+                z, layer["w"].astype(cd), layer["b"].astype(cd), bnvec,
+                li > 0, interpret,
+            )
+            mean = s / n
+            msq = ss / n
+            var = jnp.maximum(msq - jax.lax.square(mean), 0.0)
+            unbiased = var * (n / max(n - 1, 1))
+            bn_s = state["bn"][li]
+            new_bn.append(
+                {
+                    "mean": (1 - _BN_MOMENTUM) * bn_s["mean"] + _BN_MOMENTUM * mean,
+                    "var": (1 - _BN_MOMENTUM) * bn_s["var"] + _BN_MOMENTUM * unbiased,
+                }
+            )
+            inv = jax.lax.rsqrt(var + _BN_EPS).astype(cd)
+            bn_p = dense["bn"][li]
+            bnvec = jnp.stack(
+                [
+                    mean.astype(cd),
+                    inv,
+                    bn_p["scale"].astype(cd),
+                    bn_p["bias"].astype(cd),
+                ]
+            )
+        # output head on the last hidden layer (small; plain XLA)
+        h = jax.nn.relu((z - bnvec[0:1]) * bnvec[1:2] * bnvec[2:3] + bnvec[3:4])
+        score = h @ dense["out"]["w"].astype(cd) + dense["out"]["b"].astype(cd)
+        return score[:, 0].astype(jnp.float32), {"bn": new_bn}
