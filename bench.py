@@ -84,11 +84,12 @@ def emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
 
 
 def train_throughput(trainer, store, state) -> float:
-    """Steady-state examples/s over TIMED_EPOCHS after a compile epoch."""
+    """Steady-state examples/s over TIMED_EPOCHS after a compile epoch.
+    Counts each epoch as exactly ``num_train`` examples — the mask-padded
+    remainder batch's filler rows are duplicates, not new examples."""
     state, _ = trainer.fit(state, store, epochs=1, verbose=False)
     jax.block_until_ready(state["tables"])
-    nb = -(-store.num_train // trainer.cfg.batch_size)
-    examples = TIMED_EPOCHS * nb * trainer.cfg.batch_size
+    examples = TIMED_EPOCHS * store.num_train
     t0 = time.perf_counter()
     state, _ = trainer.fit(state, store, epochs=TIMED_EPOCHS, verbose=False)
     jax.block_until_ready(state["tables"])

@@ -146,3 +146,12 @@ def test_end_to_end_training_parity():
         losses[pallas_tower] = ls
     assert losses[True][-1] < losses[True][0]  # learns
     np.testing.assert_allclose(losses[True], losses[False], rtol=0.08)
+
+
+def test_empty_hidden_layers_not_applicable():
+    """hidden_layers=() has nothing to fuse; the fused path would apply the
+    zeroed input bnvec in the head and emit constant scores."""
+    from torchrecsys_tpu.ops.fused_tower import tower_applicable
+
+    m = _model(True, hidden=())
+    assert not tower_applicable(m.cfg, m.schema, R)

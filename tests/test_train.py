@@ -412,3 +412,37 @@ class TestSortBatchByUser:
             "rowwise_adagrad", 0.1, tables, opt, {"user": [(ids, g)]})
         np.testing.assert_array_equal(np.asarray(out_a["user"]), np.asarray(out_b["user"]))
         np.testing.assert_array_equal(np.asarray(st_a["user"]["acc"]), np.asarray(st_b["user"]["acc"]))
+
+
+class TestConfigValidation:
+    def _trainer(self, **kw):
+        data = make_learnable_interactions(n=500)
+        store = prepare_data(data, "user_id", "item_id")
+        model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=8))
+        return Trainer(model, TrainConfig(batch_size=128, **kw)), store
+
+    def test_pallas_step_rejects_non_singleton_truthy(self):
+        """1 / 'true' are not valid pallas_step values — silently disabling
+        the kernel costs ~2.5x with no symptom, so they raise."""
+        for bad in (1, "true", 0):
+            tr, store = self._trainer(pallas_step=bad)
+            with pytest.raises(ValueError, match="pallas_step"):
+                tr._pallas_pairwise()
+
+    def test_user_gather_sites_identity_validated(self):
+        """A model declaring a user site that passes a derived array (not
+        batch['user_id'] itself) must fail at trace time — the halved
+        gather would otherwise silently change adagrad occurrence
+        semantics."""
+        tr, store = self._trainer()
+        orig = type(tr.model).gathers
+
+        def bad_gathers(self, batch):
+            g = orig(self, batch)
+            g["user"] = ("user", batch["user_id"] + 0)  # derived array
+            return g
+
+        tr.model.gathers = bad_gathers.__get__(tr.model)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="user_gather_sites"):
+            tr.fit(state, store, epochs=1, verbose=False)

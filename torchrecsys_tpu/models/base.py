@@ -81,6 +81,16 @@ class RecModel(abc.ABC):
     """A trainable pairwise-scoring model."""
 
     name: str = "base"
+    # Gather sites (keys of gathers()'s dict) whose ids are EXACTLY
+    # ``batch["user_id"]`` passed through untouched. The trainer relies on
+    # this declaration to gather each pair's user rows once and tile them
+    # across the pos/neg halves (halving user-table traffic and giving
+    # rowwise adagrad dense-autograd one-occurrence semantics), and to mark
+    # the user scatter sorted under TrainConfig.sort_batch_by_user. It is
+    # validated against object identity at trace time — a site declared
+    # here that passes a derived array raises instead of silently changing
+    # optimizer semantics.
+    user_gather_sites: frozenset = frozenset()
 
     def __init__(self, schema: DataSchema, cfg: ModelConfig) -> None:
         self.schema = schema

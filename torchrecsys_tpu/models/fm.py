@@ -33,6 +33,7 @@ from torchrecsys_tpu.models.base import (
 
 class FMModel(RecModel):
     name = "fm"
+    user_gather_sites = frozenset({"user", "linear_user"})
     supports_linearized_catalog = True
     # Fused Pallas train-step layout (ops/fused_pairwise.py): with the two
     # fields {user, item} the pairwise term 0.5((u+i)^2 - u^2 - i^2) is

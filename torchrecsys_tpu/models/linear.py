@@ -28,6 +28,7 @@ from torchrecsys_tpu.models.base import (
 
 class LinearModel(RecModel):
     name = "linear"
+    user_gather_sites = frozenset({"user", "user_bias"})
     supports_linearized_catalog = True
     # Fused Pallas train-step layout (ops/fused_pairwise.py): score is
     # <u, i> + b_u + b_i, so the bias tables ride the packed side rows.

@@ -40,6 +40,7 @@ _BN_EPS = 1e-5
 
 class MLPModel(RecModel):
     name = "mlp"
+    user_gather_sites = frozenset({"user"})
 
     def table_specs(self) -> Dict[str, TableSpec]:
         d = self.cfg.n_factors

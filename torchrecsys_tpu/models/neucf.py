@@ -30,6 +30,7 @@ from torchrecsys_tpu.models.base import (
 
 class NeuCFModel(RecModel):
     name = "neucf"
+    user_gather_sites = frozenset({"user_gmf", "user_mlp"})
 
     def table_specs(self) -> Dict[str, TableSpec]:
         d = self.cfg.n_factors

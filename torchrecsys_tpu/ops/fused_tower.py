@@ -285,7 +285,13 @@ def tower_applicable(cfg, schema, rows: int) -> bool:
     mode = getattr(cfg, "pallas_tower", False)
     if not mode:
         return False
-    return cfg.use_batch_norm and rows % TILE == 0
+    # an empty tower has no hidden layers to fuse — the layer loop would
+    # never run and the head would normalize with the zeroed input bnvec
+    return (
+        cfg.use_batch_norm
+        and len(cfg.hidden_layers) > 0
+        and rows % TILE == 0
+    )
 
 
 def tower_interpret(cfg) -> bool:

@@ -107,10 +107,16 @@ def fit_streaming(
     for epoch in range(epochs):
         t0 = time.perf_counter()
         epoch_losses = []
+        sizes = []
         for sb in stream.epoch():
+            sizes.append(int(next(iter(sb.values())).shape[0]))
             state, loss = trainer._epoch_jit(state, sb, feat)
             epoch_losses.append(loss)
-        mean_loss = float(np.mean([float(l) for l in epoch_losses]))
+        # size-weighted: the trailing partial chunk reports its share of the
+        # epoch, not 1/num_super of it
+        mean_loss = float(
+            np.average([float(l) for l in epoch_losses], weights=sizes)
+        )
         losses.append(mean_loss)
         if verbose:
             log.info(

@@ -205,10 +205,20 @@ class Trainer:
         # 2B — halving the user table's gather+scatter traffic. Row-wise
         # adagrad consequently sees ONE occurrence with the summed gradient
         # (dense-autograd semantics) instead of two half-gradients.
+        # Sites declared by the model as carrying batch["user_id"] verbatim
+        # (RecModel.user_gather_sites). Validated against object identity at
+        # trace time: the halved-gather optimization below changes rowwise-
+        # adagrad occurrence semantics, so a declared site passing a derived
+        # array must fail loudly, not silently train differently.
         dup_uid = side["user_id"]
-        halved = frozenset(
-            k for k, (_, ids) in gmap.items() if ids is dup_uid
-        )
+        halved = model.user_gather_sites & set(gmap)
+        for k in halved:
+            if gmap[k][1] is not dup_uid:
+                raise ValueError(
+                    f"{model.name}.gathers() site {k!r} is declared in "
+                    "user_gather_sites but does not pass batch['user_id'] "
+                    "through unchanged"
+                )
         raw = {
             k: jnp.take(tables[t], user if k in halved else ids, axis=0)
             for k, (t, ids) in gmap.items()
@@ -306,11 +316,19 @@ class Trainer:
         mode = self.cfg.pallas_step
         if mode is True:
             pass
+        elif mode is False:
+            return False
         elif mode == "auto":
             if jax.default_backend() != "tpu":
                 return False
         else:
-            return False
+            # only the exact singletons are meaningful; 1 / np.True_ /
+            # "true" silently disabling the kernel costs ~2.5x throughput
+            # with no symptom, so reject them loudly
+            raise ValueError(
+                f"TrainConfig.pallas_step must be True, False or 'auto'; "
+                f"got {self.cfg.pallas_step!r}"
+            )
         return pairwise_kernel_applicable(self.model, self.cfg, self.mesh)
 
     # ------------------------------------------------------------------
