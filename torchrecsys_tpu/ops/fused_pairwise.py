@@ -351,10 +351,12 @@ def fused_pairwise_step_dp(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Data-parallel fused step over the mesh's ``'data'`` axis.
 
-    ``user_sorted`` is accepted for signature parity with the single-device
-    step but intentionally unused: the all-gathered global id vector is a
-    concatenation of sorted shards — piecewise sorted, not sorted — so the
-    scatter cannot take the merge lowering here.
+    ``user_sorted`` applies only when the ``data`` axis has size 1 (then the
+    all-gathered id vector IS the sorted batch — measured 9.65 → 15.6M ex/s
+    on the 10M Linear workload at mesh (1,1), 98% of the mesh-free
+    throughput). With 2+ shards the gathered
+    vector is a concatenation of sorted shards — piecewise sorted, not
+    sorted — so the scatter cannot take the merge lowering.
 
     Tables stay replicated across ``'data'`` (the ``'model'`` axis must be
     size 1 — enforced by ``pairwise_kernel_applicable``); the batch is
@@ -410,7 +412,9 @@ def fused_pairwise_step_dp(
         g_upd_i = jax.lax.all_gather(
             jnp.concatenate([upd_p, upd_n]), "data", tiled=True
         )
-        new_user = u_pk.at[g_uids].add(g_upd_u)
+        new_user = u_pk.at[g_uids].add(
+            g_upd_u, indices_are_sorted=user_sorted and n_data == 1
+        )
         new_item = i_pk.at[g_iids].add(g_upd_i)
         loss = jax.lax.psum(loss_sum, "data") * inv
         return new_user, new_item, loss
