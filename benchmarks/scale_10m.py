@@ -10,10 +10,11 @@ own 100K-row config (BASELINE.md).
 Run: python benchmarks/scale_10m.py  [--n 10000000]
 Prints a JSON summary line.
 
-Measured 2026-08-17, single TPU v5 lite chip (defaults: 100K users x 100K
-items, 10M interactions, dynamic negatives, bfloat16 compute):
-3.83M examples/s (100.8x the reference's ~38K ex/s CPU path), pairwise
-AUC 0.803 after 12 epochs.
+Measured 2026-08-20 (round 3), single TPU v5 lite chip (defaults: 100K
+users x 100K items, 10M interactions, dynamic negatives, bfloat16
+compute): 9.47M examples/s (249x the reference's ~38K ex/s CPU path),
+converged pairwise AUC 0.7999. (Round-1 figure on the same chip was
+3.83M ex/s / AUC 0.803 — the history is in benchmarks/PROFILE.md.)
 """
 
 from __future__ import annotations

@@ -145,10 +145,14 @@ def test_pallas_auto_mode_is_tpu_only():
     assert not off._pallas_pairwise()
 
 
-@pytest.mark.parametrize("n_data", [8, 4], ids=lambda x: f"data={x}")
+@pytest.mark.parametrize("n_data", [8, 4, 1], ids=lambda x: f"data={x}")
 def test_pallas_dp_epoch_matches_single_device(n_data):
     """Data-parallel kernel (shard_map over 'data', update-row all_gather,
-    replicated scatters) must reproduce the single-device kernel exactly."""
+    replicated scatters) must reproduce the single-device kernel exactly.
+
+    n_data=1 additionally covers the merge-lowered (indices_are_sorted)
+    user scatter, which only engages when the data axis has size 1 — a
+    wrong hint there would corrupt table updates silently."""
     store = _store(n=1040)  # 832 train rows: 6 full 128-batches + remainder
     cfg = TrainConfig(
         batch_size=128, learning_rate=0.05, dynamic_neg_sampling=True,
