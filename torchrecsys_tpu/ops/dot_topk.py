@@ -194,8 +194,12 @@ def dot_topk_xla(
 
 
 # Above this k the unrolled argmax selection becomes instruction-count bound
-# and XLA's sort-based top_k wins (measured on v5e: pallas 2x faster at
-# k<=32, XLA ~1.8x faster at k=100 on a 1M-item catalog).
+# and XLA's sort-based top_k wins. Measured on v5e, 1M-item catalog, 256
+# users, n_tile=4096: pallas/XLA ms-per-batch = 12.5/18.5 at k=10,
+# 16.6/23.4 at k=16, 27.6/36.2 at k=32 — pallas 1.3-1.5x faster through
+# k=32 and extrapolating to rough parity near k=64; beyond that XLA's sort
+# wins. (The old 512-item tile measured 2x at k<=32 only against a slower
+# kernel baseline; see the dot_topk_pallas docstring for the tile sweep.)
 _PALLAS_MAX_K = 64
 
 
@@ -208,5 +212,8 @@ def dot_topk(
     """Fused score+top-k: Pallas kernel on TPU (serving-typical k), XLA
     fallback elsewhere and for very large k."""
     if jax.default_backend() == "tpu" and k <= _PALLAS_MAX_K:
-        return dot_topk_pallas(user_vecs, item_vecs, item_bias, k)
+        # the selection's concat candidate buffers scale with n_tile + k;
+        # k > 32 at n_tile=4096 exceeds the 16 MB scoped-VMEM limit
+        n_tile = 4096 if k <= 32 else 2048
+        return dot_topk_pallas(user_vecs, item_vecs, item_bias, k, n_tile=n_tile)
     return dot_topk_xla(user_vecs, item_vecs, item_bias, k)
