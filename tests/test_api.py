@@ -190,3 +190,76 @@ def test_cold_load_fresh_process(tmp_path):
     line = [l for l in out.stdout.splitlines() if l.startswith("PRED:")][-1]
     got = [int(x) for x in line[5:].split(",")]
     np.testing.assert_array_equal(got, pred)
+
+
+def test_unfitted_calls_raise_runtime_error():
+    """evaluate/predict/save before fit() raise real errors (not bare
+    asserts, which ``python -O`` strips)."""
+    rs = RecSys(quickstart_data(), n_factors=8)
+    with pytest.raises(RuntimeError, match="call fit"):
+        rs.evaluate(verbose=False)
+    with pytest.raises(RuntimeError, match="call fit"):
+        rs.predict(user_id=0)
+    with pytest.raises(RuntimeError, match="call fit"):
+        rs.save("/tmp/never-written")
+
+
+def test_ease_facade_roundtrip(tmp_path):
+    """net_type='ease' is reachable from the facade (the reference ships
+    EASE but never wires it: no 'ease' branch at model.py:127, SURVEY §2.8)."""
+    data = quickstart_data()
+    rs = RecSys(data, n_factors=8, net_type="ease")
+    losses = rs.fit(verbose=False)
+    assert losses == []
+    top = rs.predict(user_id=3, top_k=5)
+    assert top.shape == (5,) and len(set(top.tolist())) == 5
+    m = rs.evaluate(eval_metrics=["recall@5", "hit_rate@5"], verbose=False)
+    assert 0.0 <= m["recall@5"] <= 1.0 and 0.0 <= m["hit_rate@5"] <= 1.0
+    with pytest.raises(ValueError, match="no pairwise loss"):
+        rs.evaluate(eval_metrics=["loss"], verbose=False)
+    # batched predict agrees with per-user predict
+    batch = rs.predict(user_id=[3, 4], top_k=5)
+    np.testing.assert_array_equal(batch[0], top)
+    # checkpoint roundtrip through the facade
+    d = str(tmp_path / "ease_ckpt")
+    rs.save(d)
+    rs2 = RecSys.load(d)
+    np.testing.assert_array_equal(rs2.predict(user_id=3, top_k=5), top)
+
+
+def test_ease_unknown_net_type_message():
+    with pytest.raises(ValueError, match="unknown net_type"):
+        RecSys(quickstart_data(), n_factors=8, net_type="nope")
+
+
+def test_pallas_tower_rejects_truthy_strings():
+    """ADVICE r3: config-file strings like 'false' must not silently enable
+    the fused tower."""
+    from torchrecsys_tpu.config import ModelConfig
+
+    with pytest.raises(ValueError, match="pallas_tower"):
+        ModelConfig(net_type="mlp", pallas_tower="false")
+    with pytest.raises(ValueError, match="pallas_tower"):
+        ModelConfig(net_type="mlp", pallas_tower="auto")
+
+
+def test_pallas_tower_refused_under_data_mesh():
+    """ADVICE r3: the opaque tower kernel defeats the sharded-batch path."""
+    import jax
+
+    from torchrecsys_tpu.config import ModelConfig, TrainConfig
+    from torchrecsys_tpu.models import build_model
+    from torchrecsys_tpu.parallel import make_mesh
+    from torchrecsys_tpu.train import Trainer
+    from torchrecsys_tpu.data import prepare_data
+
+    store = prepare_data(quickstart_data(), "user_id", "item_id")
+    model = build_model(
+        store.schema,
+        ModelConfig(net_type="mlp", n_factors=8, pallas_tower=True),
+    )
+    mesh = make_mesh(jax.devices()[:2], model=1)
+    with pytest.raises(ValueError, match="single-device"):
+        Trainer(model, TrainConfig(), mesh=mesh)
+    # model-only sharding is fine (data axis size 1)
+    Trainer(model, TrainConfig(), mesh=make_mesh(jax.devices()[:2], data=1))

@@ -54,12 +54,12 @@ def test_applicability_gate():
     from torchrecsys_tpu.ops.fused_tower import tower_applicable
 
     m = _model(True)
-    assert tower_applicable(m.cfg, m.schema, R)
-    assert not tower_applicable(m.cfg, m.schema, R + 8)  # non-tile rows
+    assert tower_applicable(m.cfg, R)
+    assert not tower_applicable(m.cfg, R + 8)  # non-tile rows
     off = dataclasses.replace(m.cfg, pallas_tower=False)
-    assert not tower_applicable(off, m.schema, R)
+    assert not tower_applicable(off, R)
     no_bn = dataclasses.replace(m.cfg, use_batch_norm=False)
-    assert not tower_applicable(no_bn, m.schema, R)
+    assert not tower_applicable(no_bn, R)
 
 
 def test_forward_parity():
@@ -154,4 +154,4 @@ def test_empty_hidden_layers_not_applicable():
     from torchrecsys_tpu.ops.fused_tower import tower_applicable
 
     m = _model(True, hidden=())
-    assert not tower_applicable(m.cfg, m.schema, R)
+    assert not tower_applicable(m.cfg, R)

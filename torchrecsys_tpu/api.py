@@ -57,6 +57,7 @@ class RecSys:
         mesh: Optional[jax.sharding.Mesh] = None,
         history_len: int = 20,
         seed: int = 0,
+        ease_lam: float = 100.0,
     ) -> None:
         del use_cuda
         self.debug = debug
@@ -80,7 +81,19 @@ class RecSys:
             compute_dtype="bfloat16" if use_amp else "float32",
             history_len=history_len,
         )
-        self.model = build_model(self.store.schema, self.model_cfg)
+        self.ease = None
+        if net_type == "ease":
+            # Closed-form branch: the reference ships EASE but never wires it
+            # into its facade (no 'ease' branch at torchrecsys/model.py:127;
+            # SURVEY §2.8). Here it is a first-class net_type: fit() runs the
+            # closed-form solve, predict()/evaluate() use the dense scores.
+            from torchrecsys_tpu.models.ease import EASE
+
+            s = self.store.schema
+            self.model = None
+            self.ease = EASE(s.num_users, s.num_items, lam=ease_lam)
+        else:
+            self.model = build_model(self.store.schema, self.model_cfg)
         self.dynamic_neg_sampling = dynamic_neg_sampling
         self.trainer: Optional[Trainer] = None
         self.state = None
@@ -107,6 +120,17 @@ class RecSys:
             self.trainer = Trainer(self.model, train_cfg, mesh=self.mesh)
         return self.trainer
 
+    def _require_fitted(self, what: str = "this") -> None:
+        fitted = (self.ease.b is not None) if self.ease is not None else (
+            self.state is not None
+        )
+        if not fitted:
+            # a real error, not a bare assert: survives ``python -O`` and
+            # reads like the framework's other errors (e.g. encode_one)
+            raise RuntimeError(
+                f"{what} requires a trained model — call fit() first"
+            )
+
     # ------------------------------------------------------------------
     def fit(
         self,
@@ -117,6 +141,7 @@ class RecSys:
         profile_epochs: int = 0,
         loss: str = "hinge",
         embedding_optimizer: str = "rowwise_adagrad",
+        lr_schedule: Any = None,
         verbose: bool = True,
     ) -> List[float]:
         """Train; returns per-epoch mean losses.
@@ -127,11 +152,19 @@ class RecSys:
         updates (see train/optim.py) so any named optimizer works — unlike
         the reference, where the README's Adam crashes on sparse grads
         (SURVEY §2.9 #2).
+
+        ``net_type='ease'`` has no gradient loop: fit() runs the closed-form
+        solve on the train split (optimizer/epoch args are ignored) and
+        returns an empty loss list.
         """
+        if self.ease is not None:
+            self.ease.fit(self.store.train_users, self.store.train_items)
+            return []
         train_cfg = TrainConfig(
             batch_size=batch_size,
             epochs=epochs,
             learning_rate=learning_rate,
+            lr_schedule=lr_schedule,
             dense_optimizer=optimizer,
             embedding_optimizer=embedding_optimizer,
             dynamic_neg_sampling=self.dynamic_neg_sampling,
@@ -162,8 +195,11 @@ class RecSys:
         are accepted — computed per-user from chunked full-catalog top-k
         (eval/predict.py:ranking_eval; legacy reference analog
         helper/evaluate.py:53-106).
+
+        ``net_type='ease'`` supports only the ranking metrics (it scores a
+        user x item matrix; there is no pairwise loss to report).
         """
-        assert self.state is not None, "call fit() first"
+        self._require_fitted("evaluate()")
         if self.store.num_test == 0:
             return {}
         pair_wanted = [m for m in eval_metrics if m in ("loss", "auc")]
@@ -176,6 +212,13 @@ class RecSys:
                 rank_ks.append(int(k_str))
             elif m not in ("loss", "auc"):
                 raise ValueError(f"unknown eval metric {m!r}")
+        if self.ease is not None:
+            if pair_wanted:
+                raise ValueError(
+                    "net_type='ease' has no pairwise loss/auc; request "
+                    "ranking metrics like 'recall@10' instead"
+                )
+            return self._evaluate_ease(tuple(sorted(set(rank_ks))), eval_metrics)
         out: Dict[str, float] = {}
         if pair_wanted:
             out.update(
@@ -202,6 +245,34 @@ class RecSys:
             )
         return {m: out[m] for m in eval_metrics}
 
+    def _evaluate_ease(
+        self, ks: Tuple[int, ...], eval_metrics: Sequence[str]
+    ) -> Dict[str, float]:
+        """Per-user recall/precision/hit_rate@K from EASE's dense scores —
+        same aggregation as eval/predict.py:ranking_eval."""
+        test_users = self.store.test_users
+        test_items = self.store.test_items
+        num_items = self.store.schema.num_items
+        max_k = min(max(ks), num_items)
+        uniq, inv = np.unique(np.asarray(test_users), return_inverse=True)
+        topk_parts = []
+        for s in range(0, len(uniq), 512):
+            scores = self.ease.scores(uniq[s : s + 512])
+            _, ids = jax.lax.top_k(scores, max_k)
+            topk_parts.append(np.asarray(ids))
+        topk = np.concatenate(topk_parts, axis=0)
+        member = topk[inv] == np.asarray(test_items)[:, None]
+        n_rows = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
+        out: Dict[str, float] = {}
+        for k in ks:
+            kk = min(k, num_items)
+            hit = member[:, :kk].any(axis=1)
+            hits = np.bincount(inv, weights=hit, minlength=len(uniq))
+            out[f"recall@{k}"] = float(np.mean(hits / n_rows))
+            out[f"precision@{k}"] = float(np.mean(hits / kk))
+            out[f"hit_rate@{k}"] = float(np.mean(hits > 0))
+        return {m: out[m] for m in eval_metrics}
+
     # ------------------------------------------------------------------
     def predict(
         self,
@@ -218,7 +289,7 @@ class RecSys:
 
         Returns (top_k,) for a scalar user or (U, top_k) for a sequence.
         """
-        assert self.state is not None, "call fit() first"
+        self._require_fitted("predict()")
         scalar = not isinstance(user_id, (list, tuple, np.ndarray))
         users_raw = [user_id] if scalar else list(user_id)
         try:
@@ -228,6 +299,13 @@ class RecSys:
             )
         except KeyError as e:
             raise KeyError(f"predict: unknown user_id — {e.args[0]}") from None
+        if self.ease is not None:
+            scores = self.ease.scores(rows)
+            _, ids = jax.lax.top_k(
+                scores, min(top_k, self.store.schema.num_items)
+            )
+            ids = np.asarray(ids)
+            return self._decode_items(ids, return_raw_ids, scalar)
         feat = self.trainer.feature_tables(self.store)
         params = {"tables": self.state["tables"], "dense": self.state["dense"]}
         _, ids = catalog_topk(
@@ -241,6 +319,11 @@ class RecSys:
             chunk_size=prediction_batch_size,
         )
         ids = np.asarray(ids)
+        return self._decode_items(ids, return_raw_ids, scalar)
+
+    def _decode_items(
+        self, ids: np.ndarray, return_raw_ids: bool, scalar: bool
+    ) -> np.ndarray:
         if return_raw_ids:
             decode = self.store.item_encoder.decode
             out = np.asarray([decode(r) for r in ids], dtype=object)
@@ -260,10 +343,14 @@ class RecSys:
         (same process) or :meth:`RecSys.load` (fresh process, no dataset)."""
         from torchrecsys_tpu.utils.checkpoint import pack_store_aux, save_checkpoint
 
-        assert self.state is not None, "nothing to save; call fit() first"
+        self._require_fitted("save()")
+        if self.ease is not None:
+            state = {"x": self.ease.x, "b": self.ease.b}
+        else:
+            state = self.state
         save_checkpoint(
             directory,
-            self.state,
+            state,
             self.store.schema,
             aux=pack_store_aux(
                 self.store,
@@ -275,6 +362,15 @@ class RecSys:
     def restore(self, directory: str) -> None:
         from torchrecsys_tpu.utils.checkpoint import restore_checkpoint
 
+        if self.ease is not None:
+            s = self.store.schema
+            target = {
+                "x": jnp.zeros((s.num_users, s.num_items), jnp.float32),
+                "b": jnp.zeros((s.num_items, s.num_items), jnp.float32),
+            }
+            restored = restore_checkpoint(directory, target)
+            self.ease.x, self.ease.b = restored["x"], restored["b"]
+            return
         if self.state is None:
             if self.trainer is None:
                 self.trainer = Trainer(self.model, TrainConfig(seed=self.seed), mesh=self.mesh)
@@ -331,7 +427,6 @@ class RecSys:
         self.mesh = mesh
         self.store = store
         self.model_cfg = ModelConfig(**aux["model_cfg"])
-        self.model = build_model(schema, self.model_cfg)
         self.dynamic_neg_sampling = bool(
             (aux["train_cfg"] or {}).get("dynamic_neg_sampling", False)
         )
@@ -339,6 +434,17 @@ class RecSys:
             TrainConfig(**aux["train_cfg"]) if aux["train_cfg"] else TrainConfig()
         )
         self.seed = train_cfg.seed
+        if self.model_cfg.net_type == "ease":
+            from torchrecsys_tpu.models.ease import EASE
+
+            self.model = None
+            self.trainer = None
+            self.state = None
+            self.ease = EASE(schema.num_users, schema.num_items)
+            self.restore(directory)
+            return self
+        self.ease = None
+        self.model = build_model(schema, self.model_cfg)
         self.trainer = Trainer(self.model, train_cfg, mesh=mesh)
         self.state = self.trainer.init_state(jax.random.PRNGKey(self.seed))
         self.state = restore_checkpoint(directory, self.state)

@@ -67,7 +67,10 @@ class ModelConfig:
     (fm.py:99), kept behind a flag for score parity.
     """
 
-    net_type: str = "linear"  # linear | mlp | fm | neucf | ease
+    # linear | mlp | fm | neucf | lstm (models/__init__.py registry), plus
+    # "ease" via the facade's closed-form branch (api.py) or
+    # torchrecsys_tpu.models.EASE directly
+    net_type: str = "linear"
     n_factors: int = 80
     hidden_layers: Tuple[int, ...] = (1024, 128)
     use_batch_norm: bool = True
@@ -92,8 +95,19 @@ class ModelConfig:
     # XLA's cross-op fusion with the surrounding gathers/scatters/loss
     # (benchmarks/PROFILE.md). Kept as an option (True enables; interpret
     # mode off-TPU) for parity tests and future shapes where the tradeoff
-    # flips (deeper towers, wider layers).
+    # flips (deeper towers, wider layers). Single-device only: under a mesh
+    # with data-axis size > 1 the Trainer refuses it (the opaque kernel
+    # would defeat the sharded-batch path). Only the True/False singletons
+    # are accepted (validated below): truthy strings like "false" would
+    # silently enable it.
     pallas_tower: Any = False
+
+    def __post_init__(self) -> None:
+        if not isinstance(self.pallas_tower, bool):
+            raise ValueError(
+                "ModelConfig.pallas_tower must be True or False; "
+                f"got {self.pallas_tower!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,6 +122,13 @@ class TrainConfig:
     batch_size: int = 1024
     epochs: int = 1
     learning_rate: float = 1e-2
+    # Optional lr schedule evaluated at the global step counter, applied to
+    # BOTH the dense optax optimizer and the sparse embedding updates
+    # (including inside the fused Pallas step, where lr rides an SMEM scalar
+    # so no retrace happens per value). None = constant learning_rate.
+    # Dict specs are checkpoint-serializable — see train/optim.py:
+    # make_lr_schedule; a bare callable (e.g. an optax schedule) also works.
+    lr_schedule: Any = None
     dense_optimizer: str = "adam"
     embedding_optimizer: str = "rowwise_adagrad"  # rowwise_adagrad | sgd
     dynamic_neg_sampling: bool = False

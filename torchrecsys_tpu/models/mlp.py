@@ -114,7 +114,7 @@ class MLPModel(RecModel):
         if train and cd == jnp.bfloat16:
             from torchrecsys_tpu.ops.fused_tower import tower_applicable
 
-            if tower_applicable(self.cfg, self.schema, x.shape[0]):
+            if tower_applicable(self.cfg, x.shape[0]):
                 return self._score_rows_fused(dense, state, x)
 
         use_bn = self.cfg.use_batch_norm
@@ -166,7 +166,7 @@ class MLPModel(RecModel):
 
         cd = self.compute_dtype
         n = x.shape[0]
-        interpret = ft.tower_interpret(self.cfg)
+        interpret = ft.tower_interpret()
         new_bn = []
         bnvec = jnp.zeros((4, x.shape[1]), cd)
         z = x

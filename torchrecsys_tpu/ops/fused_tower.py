@@ -120,8 +120,10 @@ def _fwd_call(x, w_bf, b_bf, bn_bf, *, has_bn, interpret):
             jax.ShapeDtypeStruct((1, dout), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
+            # bytes: bf16 (2 B) x read + z write + w read, f32 (4 B) s/ss out
             flops=2 * r * din * dout,
-            bytes_accessed=2 * r * (din + dout) + 2 * din * dout,
+            bytes_accessed=2 * (r * din + r * dout + din * dout)
+            + 4 * (2 * dout),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -223,8 +225,11 @@ def _bwd_call(x, z, dz, w_bf, bn_bf, ds, dss, *, has_bn, interpret):
             jax.ShapeDtypeStruct((4, din), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
+            # bytes: bf16 (2 B) x/z/dz/w reads + din_g write, f32 (4 B)
+            # dw/db/dbn outputs
             flops=4 * r * din * dout,
-            bytes_accessed=2 * r * (2 * din + 2 * dout) + 4 * din * dout,
+            bytes_accessed=2 * (2 * r * din + 2 * r * dout + din * dout)
+            + 4 * (din * dout + dout + 4 * din),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -279,12 +284,22 @@ def _fl_bwd(has_bn, interpret, res, cot):
 fused_layer.defvjp(_fl_fwd, _fl_bwd)
 
 
-def tower_applicable(cfg, schema, rows: int) -> bool:
+def tower_applicable(cfg, rows: int) -> bool:
     """models/mlp.py gate: enabled (opt-in — see ModelConfig.pallas_tower's
-    measured-tie note), bf16 compute, batch-norm on, tile-divisible rows."""
+    measured-tie note), bf16 compute, batch-norm on, tile-divisible rows.
+
+    Only the exact ``True``/``False`` singletons are accepted: a config-file
+    string like ``"false"`` or ``"auto"`` is truthy and would silently enable
+    the (slower at the measured shapes — and extremely slow in interpret mode
+    off-TPU) fused tower, so anything else raises — the same loud-footgun
+    policy as ``TrainConfig.pallas_step`` (train/trainer.py)."""
     mode = getattr(cfg, "pallas_tower", False)
-    if not mode:
+    if mode is False:
         return False
+    if mode is not True:
+        raise ValueError(
+            f"ModelConfig.pallas_tower must be True or False; got {mode!r}"
+        )
     # an empty tower has no hidden layers to fuse — the layer loop would
     # never run and the head would normalize with the zeroed input bnvec
     return (
@@ -294,5 +309,5 @@ def tower_applicable(cfg, schema, rows: int) -> bool:
     )
 
 
-def tower_interpret(cfg) -> bool:
+def tower_interpret() -> bool:
     return jax.default_backend() != "tpu"

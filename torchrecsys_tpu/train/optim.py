@@ -179,7 +179,12 @@ def apply_embedding_updates_fused(
     return new_tables
 
 
-def make_dense_optimizer(kind: str, lr: float) -> optax.GradientTransformation:
+def make_dense_optimizer(
+    kind: str, lr, schedule=None
+) -> optax.GradientTransformation:
+    """``lr`` may be a float or an optax schedule; ``schedule`` (from
+    :func:`make_lr_schedule`) takes precedence when given."""
+    lr = schedule if schedule is not None else lr
     if kind == "adam":
         return optax.adam(lr)
     if kind == "adamw":
@@ -189,3 +194,52 @@ def make_dense_optimizer(kind: str, lr: float) -> optax.GradientTransformation:
     if kind == "sgd":
         return optax.sgd(lr)
     raise ValueError(f"unknown dense optimizer {kind!r}")
+
+
+def make_lr_schedule(base_lr: float, spec):
+    """Build a ``step -> lr`` schedule from ``TrainConfig.lr_schedule``.
+
+    The reference has no learning-rate schedules (the lr lives inside the
+    user's torch optimizer object, model.py:203); this is a new capability.
+    ``spec`` forms:
+
+    - ``None`` — constant lr (returns None; callers use ``base_lr``).
+    - a callable ``step -> lr`` (e.g. any optax schedule) — used as-is.
+      Note: callables don't serialize into checkpoints; prefer dict specs.
+    - a dict, JSON/checkpoint-serializable:
+        {"kind": "cosine", "decay_steps": N[, "alpha": a]}
+        {"kind": "step", "boundaries_and_scales": {step: scale, ...}}
+        {"kind": "exponential", "transition_steps": N, "decay_rate": r
+            [, "staircase": bool]}
+        {"kind": "linear", "transition_steps": N[, "end_value": v]}
+
+    Every schedule starts from ``base_lr`` (TrainConfig.learning_rate) and is
+    evaluated at the *global step counter* (state["step"]), so it is
+    continuous across epochs and across fit() calls.
+    """
+    if spec is None:
+        return None
+    if callable(spec):
+        return spec
+    kind = spec.get("kind")
+    if kind == "cosine":
+        return optax.cosine_decay_schedule(
+            base_lr, int(spec["decay_steps"]), float(spec.get("alpha", 0.0))
+        )
+    if kind == "step":
+        return optax.piecewise_constant_schedule(
+            base_lr,
+            {int(k): float(v) for k, v in spec["boundaries_and_scales"].items()},
+        )
+    if kind == "exponential":
+        return optax.exponential_decay(
+            base_lr,
+            int(spec["transition_steps"]),
+            float(spec["decay_rate"]),
+            staircase=bool(spec.get("staircase", False)),
+        )
+    if kind == "linear":
+        return optax.linear_schedule(
+            base_lr, float(spec.get("end_value", 0.0)), int(spec["transition_steps"])
+        )
+    raise ValueError(f"unknown lr_schedule spec {spec!r}")

@@ -39,6 +39,7 @@ from torchrecsys_tpu.train.optim import (
     augment_tables,
     init_embedding_opt,
     make_dense_optimizer,
+    make_lr_schedule,
     split_augmented,
     supports_fused_layout,
 )
@@ -68,10 +69,37 @@ class Trainer:
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
+        # The fused tower's opaque pallas_call over the 'data'-sharded
+        # (2B, W) activations would force GSPMD to gather/replicate
+        # activations around every layer kernel, silently defeating the
+        # sharded-batch path (and the synced-BN GSPMD reduction) — refuse
+        # rather than silently run slow.
+        if (
+            getattr(model.cfg, "pallas_tower", False) is True
+            and mesh is not None
+            and mesh.shape.get("data", 1) > 1
+        ):
+            raise ValueError(
+                "ModelConfig.pallas_tower=True is a single-device option: "
+                "under a mesh with data-axis size > 1 the opaque tower "
+                "kernel defeats the sharded-batch path. Use the XLA tower "
+                "(pallas_tower=False) with meshes."
+            )
         self.loss_fn = LOSS_REGISTRY[cfg.loss]
-        self.dense_tx = make_dense_optimizer(cfg.dense_optimizer, cfg.learning_rate)
+        self.lr_fn = make_lr_schedule(cfg.learning_rate, cfg.lr_schedule)
+        self.dense_tx = make_dense_optimizer(
+            cfg.dense_optimizer, cfg.learning_rate, schedule=self.lr_fn
+        )
         self._epoch_jit = jax.jit(self._epoch_fn, donate_argnums=(0,))
         self._eval_jit = jax.jit(self._eval_fn)
+
+    def _lr_at(self, step: jnp.ndarray):
+        """Per-step learning rate for the sparse embedding updates; a traced
+        value under a schedule (one compile covers every step), a plain float
+        otherwise."""
+        if self.lr_fn is None:
+            return self.cfg.learning_rate
+        return self.lr_fn(step)
 
     # ------------------------------------------------------------------
     def init_state(self, key: jax.Array) -> TrainState:
@@ -219,6 +247,20 @@ class Trainer:
                     "user_gather_sites but does not pass batch['user_id'] "
                     "through unchanged"
                 )
+        # Fallback identity detector for model subclasses that pass
+        # batch['user_id'] through but forgot to declare the site: they
+        # train correctly (two-occurrence rowwise-adagrad semantics) but
+        # pay a 2x user-table gather/scatter — warn at trace time so the
+        # halved-gather optimization isn't silently lost.
+        for k, (_, ids) in gmap.items():
+            if k not in halved and ids is dup_uid:
+                log.warning(
+                    "%s.gathers() site %r passes batch['user_id'] through "
+                    "but is not declared in user_gather_sites: it trains "
+                    "with two-occurrence adagrad semantics and 2x user-"
+                    "table traffic. Declare it to enable the halved gather.",
+                    model.name, k,
+                )
         raw = {
             k: jnp.take(tables[t], user if k in halved else ids, axis=0)
             for k, (t, ids) in gmap.items()
@@ -263,6 +305,7 @@ class Trainer:
             )
         else:
             sorted_tables = frozenset()
+        lr = self._lr_at(state["step"])
         if fused:
             per_table_f: Dict[str, List] = {}
             for k, (tname, ids) in gmap.items():
@@ -270,7 +313,7 @@ class Trainer:
                     (ids, g_rows[k], acc_old[k])
                 )
             new_tables = apply_embedding_updates_fused(
-                cfg.learning_rate, tables, per_table_f,
+                lr, tables, per_table_f,
                 sorted_tables=sorted_tables,
             )
             new_emb_opt = state["emb_opt"]
@@ -280,7 +323,7 @@ class Trainer:
                 per_table.setdefault(tname, []).append((ids, g_rows[k]))
             new_tables, new_emb_opt = apply_embedding_updates(
                 cfg.embedding_optimizer,
-                cfg.learning_rate,
+                lr,
                 tables,
                 state["emb_opt"],
                 per_table,
@@ -445,20 +488,21 @@ class Trainer:
                         k_neg, pos, self.model.schema.num_items, cfg.avoid_collisions
                     )
                 kw = dict(
-                    d=d, lr=cfg.learning_rate, margin=cfg.margin,
+                    d=d, margin=cfg.margin,
                     loss_kind=cfg.loss, sigmoid=self.model.pairwise_sigmoid,
                     interpret=interpret, user_sorted=user_sorted,
                 )
+                lr_t = self._lr_at(st["step"])
                 if mesh is None:
                     nu, ni, loss = fp.fused_pairwise_step(
                         st["tables"]["user"], st["tables"]["item"],
-                        user, pos, neg, w, **kw,
+                        user, pos, neg, w, lr_t, **kw,
                     )
                 else:
                     nu, ni, loss = fp.fused_pairwise_step_dp(
                         mesh,
                         st["tables"]["user"], st["tables"]["item"],
-                        user, pos, neg, w, **kw,
+                        user, pos, neg, w, lr_t, **kw,
                     )
                 st = dict(st, tables={"user": nu, "item": ni}, step=st["step"] + 1)
                 return st, loss
