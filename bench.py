@@ -13,15 +13,33 @@ Metrics, in print order:
    10M workload with a Linear model. ``vs_baseline`` is the speedup.
 3. ``linear_10m_pallas_train_examples_per_sec`` — absolute Linear
    throughput with the kernel, vs the reference Linear's ~274K ex/s.
-4. ``predict_qps_linear_1k`` — batched full-catalog top-k queries/s at the
+4. ``mlp_10m_step_us`` / ``mlp_10m_mfu_pct`` — headroom metrics derived
+   from #1 (VERDICT r3 weak #7): microseconds per 8192-pair step, and
+   model-FLOP utilization against the v5e's ~197 bf16 TFLOP/s peak
+   (FLOPs counted analytically: 3x the forward tower matmuls over 2B
+   rows/step — see _mlp_model_flops_per_example). ``vs_baseline`` is the
+   ratio to round 3 (866.6 us/step, 17.0% MFU) so a step-time regression
+   is attributable, not a diffuse ex/s change.
+5. ``predict_qps_linear_1k`` — batched full-catalog top-k queries/s at the
    reference's 1K-item scale, vs its ~770 q/s (model.py:341-452 loop,
    BASELINE.md).
-5. ``predict_qps_linear_1m`` — the same at a 1M-item catalog via the fused
+6. ``predict_qps_linear_1m`` — the same at a 1M-item catalog via the fused
    Pallas score+top-k kernel (ops/dot_topk.py); no reference counterpart
    survives at this scale (its per-chunk pandas predict would take minutes
    per query), so ``vs_baseline`` extrapolates against 770 q/s.
+7. ``predict_qps_linear_1m_sharded`` — the same through the model-axis-
+   sharded catalog scorer (eval/predict.py:_sharded_catalog_topk) on a
+   trivial (1,1) mesh: proves the sharded serving path costs ~nothing on
+   one chip (``vs_baseline`` = ratio to the unsharded #6 run).
+8. ``predict_qps_lstm_100k`` — LSTM full-catalog predict at a 100K catalog
+   via the encode-once linearized path (VERDICT r3 weak #2: the generic
+   path was O(U*N*L)); ``vs_baseline`` extrapolates against 770 q/s.
+9. ``neucf_10m_train_examples_per_sec`` — NeuCF (GMF+MLP dual towers,
+   rebuilt working from the reference's broken neu.py) on the same 10M
+   workload; ``vs_baseline`` vs the reference MLP's ~38K ex/s (its NeuCF
+   never ran).
 
-Workload for 1-3 (BASELINE.json north star): 100K users x 100K items, 10M
+Workload for 1-4/9 (BASELINE.json north star): 100K users x 100K items, 10M
 interactions with learnable block structure, dynamic uniform negatives,
 hinge loss, batch 8192. MLP adds [1024,128]+BN and bfloat16 compute.
 Steady-state epochs after one warmup (compile) epoch.
@@ -48,10 +66,24 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_MLP_EXAMPLES_PER_SEC = 38_000.0
 BASELINE_LINEAR_EXAMPLES_PER_SEC = 274_000.0
 BASELINE_PREDICT_QPS_1K = 770.0
+# round-3 headroom reference points (BENCH_r03: 9.45M ex/s at batch 8192)
+R3_STEP_US = 866.6
+R3_MFU_PCT = 17.0
+V5E_BF16_FLOPS = 197e12
 
 N_USERS, N_ITEMS, N_INTERACTIONS = 100_000, 100_000, 10_000_000
 BATCH = int(os.environ.get("BENCH_BATCH", 8192))
 TIMED_EPOCHS = 3
+
+
+def _mlp_model_flops_per_example(n_factors=80, hidden=(1024, 128)) -> float:
+    """Analytic model FLOPs per training example: the tower matmuls over the
+    2 rows (pos|neg) each example contributes, x3 for fwd + input-grad +
+    weight-grad. Embedding gathers/scatters and BN are excluded — this is
+    the numerator MFU conventionally counts."""
+    widths = [2 * n_factors, *hidden, 1]
+    fwd_per_row = 2.0 * sum(a * b for a, b in zip(widths[:-1], widths[1:]))
+    return 3.0 * 2.0 * fwd_per_row
 
 
 def structured_interactions(n_users: int, n_items: int, n: int, seed: int = 0):
@@ -126,6 +158,10 @@ def bench_mlp_north_star(store) -> None:
         "examples/s",
         eps / BASELINE_MLP_EXAMPLES_PER_SEC,
     )
+    step_us = BATCH / eps * 1e6
+    mfu_pct = eps * _mlp_model_flops_per_example() / V5E_BF16_FLOPS * 100.0
+    emit("mlp_10m_step_us", step_us, "us/step (batch 8192)", R3_STEP_US / step_us)
+    emit("mlp_10m_mfu_pct", mfu_pct, "% of v5e bf16 peak", mfu_pct / R3_MFU_PCT)
 
 
 def bench_linear_pallas_vs_xla(store) -> None:
@@ -159,18 +195,31 @@ def bench_linear_pallas_vs_xla(store) -> None:
 
 
 def bench_predict_qps(n_users: int, n_items: int, batch_users: int, name: str,
-                      vs_baseline_scale: float) -> None:
+                      vs_baseline_scale: float, net_type: str = "linear",
+                      mesh=None, emit_result: bool = True) -> float:
     from torchrecsys_tpu.config import DataSchema, ModelConfig
     from torchrecsys_tpu.eval.predict import catalog_topk
     from torchrecsys_tpu.models import build_model
 
     schema = DataSchema(num_users=n_users, num_items=n_items)
-    model = build_model(schema, ModelConfig(net_type="linear", n_factors=80))
+    model = build_model(schema, ModelConfig(net_type=net_type, n_factors=80))
     params, state = model.init(jax.random.PRNGKey(0))
     user_ids = jnp.arange(batch_users, dtype=jnp.int32) % n_users
+    feat = None
+    if getattr(model, "needs_history", False):
+        r = np.random.default_rng(0)
+        hl = model.cfg.history_len
+        feat = {
+            "hist_ids": jnp.asarray(
+                r.integers(0, n_items, (n_users, hl)), jnp.int32
+            ),
+            "hist_mask": jnp.ones((n_users, hl), bool),
+        }
 
     def run():
-        return catalog_topk(model, params, state, user_ids, n_items, top_k=10)
+        return catalog_topk(
+            model, params, state, user_ids, n_items, feat, top_k=10, mesh=mesh
+        )
 
     scores, _ = run()
     _ = np.asarray(scores)  # drain compile + warmup
@@ -180,7 +229,40 @@ def bench_predict_qps(n_users: int, n_items: int, batch_users: int, name: str,
         scores, _ = run()
     _ = np.asarray(scores)  # single honest D2H sync
     qps = batch_users / ((time.perf_counter() - t0) / reps)
-    emit(name, qps, "users/s (full-catalog top-10)", qps / vs_baseline_scale)
+    if emit_result:
+        emit(name, qps, "users/s (full-catalog top-10)", qps / vs_baseline_scale)
+    return qps
+
+
+def bench_neucf_train(store) -> None:
+    from torchrecsys_tpu.config import ModelConfig, TrainConfig
+    from torchrecsys_tpu.models import build_model
+    from torchrecsys_tpu.train import Trainer
+
+    model = build_model(
+        store.schema,
+        ModelConfig(net_type="neucf", n_factors=80, compute_dtype="bfloat16"),
+    )
+    cfg = TrainConfig(
+        batch_size=BATCH, learning_rate=0.05, dynamic_neg_sampling=True,
+        loss="hinge",
+    )
+    trainer = Trainer(model, cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    # one warmup + one timed epoch (the dual-tower model is the heaviest in
+    # the zoo; one 10M epoch is a stable measurement)
+    state, _ = trainer.fit(state, store, epochs=1, verbose=False)
+    jax.block_until_ready(state["tables"])
+    t0 = time.perf_counter()
+    state, _ = trainer.fit(state, store, epochs=1, verbose=False)
+    jax.block_until_ready(state["tables"])
+    eps = store.num_train / (time.perf_counter() - t0)
+    emit(
+        "neucf_10m_train_examples_per_sec",
+        eps,
+        "examples/s",
+        eps / BASELINE_MLP_EXAMPLES_PER_SEC,
+    )
 
 
 def main() -> None:
@@ -191,10 +273,18 @@ def main() -> None:
 
     bench_mlp_north_star(store)
     bench_linear_pallas_vs_xla(store)
+    bench_neucf_train(store)
     bench_predict_qps(3_000, 1_000, 4096, "predict_qps_linear_1k",
                       BASELINE_PREDICT_QPS_1K)
-    bench_predict_qps(100_000, 1_000_000, 256, "predict_qps_linear_1m",
-                      BASELINE_PREDICT_QPS_1K)
+    qps_1m = bench_predict_qps(100_000, 1_000_000, 256, "predict_qps_linear_1m",
+                               BASELINE_PREDICT_QPS_1K)
+    from torchrecsys_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices()[:1], data=1, model=1)
+    bench_predict_qps(100_000, 1_000_000, 256, "predict_qps_linear_1m_sharded",
+                      qps_1m, mesh=mesh)
+    bench_predict_qps(100_000, 100_000, 256, "predict_qps_lstm_100k",
+                      BASELINE_PREDICT_QPS_1K, net_type="lstm")
 
 
 if __name__ == "__main__":

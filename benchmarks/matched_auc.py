@@ -179,7 +179,11 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--ref_lr", type=float, default=0.05)
     ap.add_argument("--fw_lr", type=float, default=0.05)
-    ap.add_argument("--net", choices=["mlp", "linear", "fm"], default="mlp")
+    ap.add_argument(
+        "--net",
+        choices=["mlp", "linear", "fm", "neucf", "lstm"],
+        default="mlp",
+    )
     ap.add_argument("--skip", choices=["reference", "framework"], default=None)
     args = ap.parse_args()
 
@@ -191,10 +195,20 @@ def main():
         out["framework_auc"] = round(fw["auc"], 4)
         out["framework_fit_s"] = round(fw["fit_s"], 2)
     if args.skip != "reference":
-        ref = run_reference(users, items, args.epochs, args.batch, args.ref_lr,
-                            net=args.net)
-        out["reference_auc"] = round(ref["auc"], 4)
-        out["reference_fit_s"] = round(ref["fit_s"], 2)
+        # net_type='neucf'/'lstm' CRASH in the reference (un-raised
+        # NotImplementedError -> AttributeError, model.py:162-168, SURVEY
+        # §2.9 #6) — record the crash rather than an AUC so the row is
+        # honest about what the reference can do.
+        try:
+            ref = run_reference(users, items, args.epochs, args.batch,
+                                args.ref_lr, net=args.net)
+            out["reference_auc"] = round(ref["auc"], 4)
+            out["reference_fit_s"] = round(ref["fit_s"], 2)
+        except Exception as e:  # noqa: BLE001 - reference defect surface
+            if args.net not in ("neucf", "lstm"):
+                raise
+            out["reference_auc"] = None
+            out["reference_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(out))
 
 

@@ -172,3 +172,127 @@ def test_full_epoch_on_mesh(store):
     assert np.isfinite(losses).all()
     metrics = trainer.evaluate(state, store, verbose=False)
     assert 0.0 <= metrics["auc"] <= 1.0
+
+
+class TestShardedCatalogTopk:
+    """SURVEY §7 hard part (c): per-shard score+top-k over the 'model' axis
+    + cross-shard k-way merge equals the single-device result exactly."""
+
+    def _model_params(self, net_type, with_meta=False):
+        from torchrecsys_tpu.config import DataSchema
+
+        schema = DataSchema(
+            num_users=50,
+            num_items=37,
+            **(
+                dict(
+                    metadata_names=("cat",),
+                    metadata_vocab_sizes=(7,),
+                    metadata_width=2,
+                )
+                if with_meta
+                else {}
+            ),
+        )
+        model = build_model(schema, ModelConfig(net_type=net_type, n_factors=8))
+        params, state = model.init(jax.random.PRNGKey(0))
+        feat = None
+        if with_meta:
+            r = np.random.default_rng(0)
+            feat = {
+                "meta_ids": jnp.asarray(r.integers(0, 7, (37, 1, 2)), jnp.int32),
+                "meta_mask": jnp.asarray(r.random((37, 1, 2)) < 0.8),
+            }
+        return model, params, state, feat
+
+    @pytest.mark.parametrize("net_type", ["linear", "fm"])
+    @pytest.mark.parametrize(
+        "axes", [(8, 1), (4, 2), (1, 8)], ids=lambda x: str(x)
+    )
+    def test_matches_single_device(self, net_type, axes):
+        from torchrecsys_tpu.eval.predict import catalog_topk
+
+        model, params, state, feat = self._model_params(net_type)
+        users = jnp.arange(16, dtype=jnp.int32)
+        s0, i0 = catalog_topk(model, params, state, users, 37, feat, top_k=5)
+        mesh = make_mesh(data=axes[0], model=axes[1])
+        s1, i1 = catalog_topk(
+            model, params, state, users, 37, feat, top_k=5, mesh=mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(s0), np.asarray(s1), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_metadata_composite_vectors_shard(self):
+        """The item-side composite q (item + metadata sums) shards too."""
+        from torchrecsys_tpu.eval.predict import catalog_topk
+
+        model, params, state, feat = self._model_params("linear", with_meta=True)
+        users = jnp.arange(8, dtype=jnp.int32)
+        s0, i0 = catalog_topk(model, params, state, users, 37, feat, top_k=4)
+        mesh = make_mesh(model=4)
+        s1, i1 = catalog_topk(
+            model, params, state, users, 37, feat, top_k=4, mesh=mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(s0), np.asarray(s1), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_k_larger_than_shard(self):
+        """k > rows-per-shard: local top-k clamps to the shard size and the
+        merge still reconstructs the exact global top-k."""
+        from torchrecsys_tpu.eval.predict import catalog_topk
+
+        model, params, state, _ = self._model_params("linear")
+        users = jnp.arange(4, dtype=jnp.int32)
+        # 37 items over 8 shards -> 5 rows/shard < k=12
+        s0, i0 = catalog_topk(model, params, state, users, 37, top_k=12)
+        mesh = make_mesh(model=8)
+        s1, i1 = catalog_topk(
+            model, params, state, users, 37, top_k=12, mesh=mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(s0), np.asarray(s1), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_generic_model_data_sharded(self):
+        """Non-linearizable models (MLP) shard the user batch over 'data';
+        a user count that doesn't divide the axis is padded and sliced."""
+        from torchrecsys_tpu.eval.predict import catalog_topk
+
+        model, params, state, _ = self._model_params("mlp")
+        users = jnp.arange(13, dtype=jnp.int32)
+        s0, i0 = catalog_topk(model, params, state, users, 37, top_k=5)
+        mesh = make_mesh(model=2)
+        s1, i1 = catalog_topk(
+            model, params, state, users, 37, top_k=5, mesh=mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(s0), np.asarray(s1), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_ranking_eval_on_sharded_state(self, store):
+        """ranking_eval with a mesh equals the single-device metrics."""
+        from torchrecsys_tpu.eval.predict import ranking_eval
+
+        model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=8))
+        cfg = TrainConfig(batch_size=256, dynamic_neg_sampling=True)
+        mesh = make_mesh(model=2)
+        tr = Trainer(model, cfg, mesh=mesh)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, _ = tr.fit(state, store, epochs=1, verbose=False)
+        params = {"tables": state["tables"], "dense": state["dense"]}
+        kw = dict(ks=(5,))
+        m0 = ranking_eval(
+            model, params, state["model_state"], store.test_users,
+            store.test_items, store.schema.num_items, **kw,
+        )
+        m1 = ranking_eval(
+            model, params, state["model_state"], store.test_users,
+            store.test_items, store.schema.num_items, mesh=mesh, **kw,
+        )
+        assert m0 == m1

@@ -76,3 +76,37 @@ def test_fit_streaming_on_mesh():
     state = tr.init_state(jax.random.PRNGKey(0))
     state, losses = tr.fit_streaming(state, store, superbatch_size=1024, epochs=2, verbose=False)
     assert np.isfinite(losses).all()
+
+
+def test_fit_streaming_on_mesh_nondivisible_chunk():
+    """A trailing chunk whose length doesn't divide the data axis falls back
+    to a replicated device_put instead of crashing (and still matches the
+    resident fit when the single chunk covers the whole split)."""
+    from tests.test_train import make_learnable_interactions
+    from torchrecsys_tpu.parallel import make_mesh
+
+    data = make_learnable_interactions(n=1000)  # train split 800 rows
+    store = prepare_data(data, "user_id", "item_id", dynamic_neg_sampling=True)
+    mesh = make_mesh(data=4, model=2)
+    n = store.num_train
+    assert n % 4 != 0 or n % 3 != 0  # ensure some chunk is non-divisible
+
+    def run(streaming):
+        model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=8))
+        cfg = TrainConfig(batch_size=128, learning_rate=0.05, dynamic_neg_sampling=True)
+        tr = Trainer(model, cfg, mesh=mesh)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        if streaming:
+            return tr.fit_streaming(state, store, superbatch_size=n, epochs=2, verbose=False)
+        return tr.fit(state, store, epochs=2, verbose=False)
+
+    _, l_stream = run(True)
+    _, l_res = run(False)
+    np.testing.assert_allclose(l_stream, l_res, rtol=2e-4, atol=1e-6)
+    # odd-sized chunks (271) exercise the fallback mid-epoch too
+    model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=8))
+    cfg = TrainConfig(batch_size=128, learning_rate=0.05, dynamic_neg_sampling=True)
+    tr = Trainer(model, cfg, mesh=mesh)
+    state = tr.init_state(jax.random.PRNGKey(1))
+    _, losses = tr.fit_streaming(state, store, superbatch_size=271, epochs=1, verbose=False)
+    assert np.isfinite(losses).all()

@@ -241,6 +241,7 @@ class RecSys:
                     ks=tuple(sorted(set(rank_ks))),
                     item_chunk=None,
                     batch_size=batch_size,
+                    mesh=self.mesh,
                 )
             )
         return {m: out[m] for m in eval_metrics}
@@ -317,6 +318,7 @@ class RecSys:
             feat,
             top_k=top_k,
             chunk_size=prediction_batch_size,
+            mesh=self.mesh,
         )
         ids = np.asarray(ids)
         return self._decode_items(ids, return_raw_ids, scalar)

@@ -114,10 +114,86 @@ def _fused_catalog_topk(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     from torchrecsys_tpu.ops.dot_topk import dot_topk
 
-    lin = model.linearized_catalog(params["tables"], feat)
+    lin = model.linearized_catalog(params, feat)
     item_vecs, item_bias, user_fn, transform = lin
-    user_vecs, user_const = user_fn(params["tables"], user_ids)
+    user_vecs, user_const = user_fn(params, user_ids)
     raw, ids = dot_topk(user_vecs, item_vecs, item_bias, min(top_k, num_items))
+    return transform(raw, user_const), ids
+
+
+@partial(
+    jax.jit, static_argnames=("model", "num_items", "top_k", "mesh", "axis")
+)
+def _sharded_catalog_topk(
+    model: RecModel,
+    params: Params,
+    user_ids: jnp.ndarray,
+    num_items: int,
+    feat: Optional[Features],
+    top_k: int,
+    mesh: jax.sharding.Mesh,
+    axis: str = "model",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Model-axis-sharded full-catalog score + top-k (SURVEY §7 hard part (c)).
+
+    The serving half of the ``model`` axis: with the item table row-sharded
+    (big catalogs are WHY the axis exists), the single-device fused path
+    would make GSPMD all-gather the whole item matrix per call. Here each
+    device instead scores only ITS item-row shard — through the same fused
+    Pallas score+top-k kernel (ops/dot_topk.py; XLA fallback off-TPU) —
+    keeps a local (U, k) running top-k, and one ``all_gather`` of the tiny
+    (U, k) candidate lists over ``model`` feeds a final k-way merge
+    (``lax.top_k`` over the m*k candidates). Per-call communication is
+    O(m * U * k) floats instead of O(N * D): the catalog never moves.
+
+    Replaces the reference's chunked single-device full-catalog scoring
+    (torchrecsys/model.py:341-452) at sharded-table scale. Results are
+    bitwise the single-device merge's (same first-lowest-index tie rule;
+    exact-equality tested at (8,1)/(4,2)/(1,8) in tests/test_sharding.py
+    and the driver dryrun).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from torchrecsys_tpu.ops.dot_topk import dot_topk
+
+    lin = model.linearized_catalog(params, feat)
+    item_vecs, item_bias, user_fn, transform = lin
+    user_vecs, user_const = user_fn(params, user_ids)
+
+    m = mesh.shape[axis]
+    n, d = item_vecs.shape
+    k = min(top_k, num_items)
+    r_pad = -(-n // m) * m
+    # padded rows get -inf bias so they never win a local top-k; each shard
+    # is r_pad // m rows so BlockSpecs stay uniform across devices
+    iv = jnp.zeros((r_pad, d), jnp.float32).at[:n].set(item_vecs)
+    ib = jnp.full((r_pad,), -jnp.inf, jnp.float32).at[:n].set(item_bias)
+    iv = jax.lax.with_sharding_constraint(iv, NamedSharding(mesh, P(axis, None)))
+    ib = jax.lax.with_sharding_constraint(ib, NamedSharding(mesh, P(axis)))
+    k_local = min(k, r_pad // m)
+
+    def block(uv, iv_shard, ib_shard):
+        start = jax.lax.axis_index(axis) * iv_shard.shape[0]
+        vals, ids = dot_topk(uv, iv_shard, ib_shard, k_local)
+        return vals, ids + start
+
+    # Per-shard (U, k_local) winners come back concatenated over the column
+    # axis (out_specs P(None, axis) — GSPMD's all_gather over ICI, m*k_local
+    # floats per user); the final cross-shard k-way merge is one replicated
+    # lax.top_k over those candidates. check_vma=False: pallas_call
+    # (dot_topk on TPU) cannot declare varying-manual-axes on its outputs;
+    # the manual in/out specs fully pin the layout regardless.
+    from torchrecsys_tpu.parallel.sharding import shard_map_norep
+
+    fn = shard_map_norep(
+        block,
+        mesh,
+        (P(), P(axis, None), P(axis)),
+        (P(None, axis), P(None, axis)),
+    )
+    c_vals, c_ids = fn(user_vecs, iv, ib)  # (U, m * k_local)
+    raw, pos = jax.lax.top_k(c_vals, k)
+    ids = jnp.take_along_axis(c_ids, pos, axis=1)
     return transform(raw, user_const), ids
 
 
@@ -131,10 +207,36 @@ def catalog_topk(
     top_k: int = 10,
     chunk_size: int = 4096,
     use_fused: bool = True,
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full-catalog top-k with automatic kernel dispatch."""
+    """Full-catalog top-k with automatic kernel dispatch.
+
+    Dispatch: linearizable models use the fused score+top-k kernel — under a
+    mesh the model-axis-sharded per-shard-score + cross-shard-merge variant
+    (:func:`_sharded_catalog_topk`), single-device otherwise. Everything
+    else takes the generic chunked scorer; under a mesh its user batch is
+    sharded over the ``data`` axis (tables stay wherever the mesh put them —
+    GSPMD inserts the gathers)."""
     if use_fused and model.supports_linearized_catalog:
+        if mesh is not None:
+            return _sharded_catalog_topk(
+                model, params, user_ids, num_items, feat, top_k, mesh
+            )
         return _fused_catalog_topk(model, params, user_ids, num_items, feat, top_k)
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # pad U to the data axis, shard users, slice the padding back off
+        u = user_ids.shape[0]
+        dsz = mesh.shape["data"]
+        pad = (-u) % dsz
+        up = jnp.concatenate([user_ids, jnp.zeros((pad,), user_ids.dtype)])
+        up = jax.device_put(up, NamedSharding(mesh, P("data")))
+        scores, ids = full_catalog_topk(
+            model, params, state, up, num_items, feat,
+            top_k=top_k, chunk_size=chunk_size,
+        )
+        return scores[:u], ids[:u]
     return full_catalog_topk(
         model,
         params,
@@ -159,6 +261,7 @@ def ranking_eval(
     user_chunk: int = 512,
     item_chunk: Optional[int] = 4096,
     batch_size: Optional[int] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> Dict[str, float]:
     """Per-user recall@k / precision@k / hit_rate@k over a test split.
 
@@ -188,7 +291,7 @@ def ranking_eval(
         chunk = jnp.asarray(uniq[s : s + user_chunk], jnp.int32)
         _, ids = catalog_topk(
             model, params, state, chunk, num_items, feat,
-            top_k=max_k, chunk_size=item_chunk,
+            top_k=max_k, chunk_size=item_chunk, mesh=mesh,
         )
         topk_parts.append(np.asarray(ids))
     topk = np.concatenate(topk_parts, axis=0)  # (n_uniq, max_k) desc

@@ -160,17 +160,21 @@ class RecModel(abc.ABC):
     # True on models whose linearized_catalog returns a factorization
     supports_linearized_catalog: bool = False
 
-    def linearized_catalog(self, tables: Dict[str, jnp.ndarray], feat):
+    def linearized_catalog(self, params: Params, feat):
         """Optional dot-product factorization of the scoring function.
 
         Models whose score reduces to ``transform(dot(user_vec, item_vec) +
         item_bias + user_const)`` with monotonic ``transform`` return
         ``(item_vecs (N, D), item_bias (N,), user_fn, transform)`` where
-        ``user_fn(tables, user_ids) -> (user_vecs (U, D), user_const (U,))``
+        ``user_fn(params, user_ids) -> (user_vecs (U, D), user_const (U,))``
         and ``transform(raw (U, k), user_const) -> scores``. Enables the
-        fused Pallas score+top-k kernel (ops/dot_topk.py) for full-catalog
-        prediction. Models with non-bilinear scoring (MLP, NeuCF) return
-        None and use the generic chunked path.
+        fused Pallas score+top-k kernel (ops/dot_topk.py) and the
+        model-axis-sharded catalog scorer (eval/predict.py:
+        sharded_catalog_topk) for full-catalog prediction. ``params`` is the
+        full ``{"tables", "dense"}`` dict — sequence models need their dense
+        encoder weights to build user vectors. Models with genuinely
+        non-bilinear scoring (MLP, NeuCF) return None and use the generic
+        chunked path.
         """
         return None
 

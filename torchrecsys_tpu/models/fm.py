@@ -98,7 +98,7 @@ class FMModel(RecModel):
             score = jax.nn.sigmoid(score)  # fm.py:99
         return score.astype(jnp.float32), state
 
-    def linearized_catalog(self, tables, feat):
+    def linearized_catalog(self, params, feat):
         """FM's pairwise term collapses to a dot product per (user, item):
 
         with item-side composite ``q = v_i + Σ_f v_mf``, the field math
@@ -108,6 +108,7 @@ class FMModel(RecModel):
         monotonic transform of a bilinear score, so the fused score+top-k
         kernel applies.
         """
+        tables = params["tables"]
         n = self.schema.num_items
         i = tables["item"][:n].astype(jnp.float32)
         q = i
@@ -129,7 +130,8 @@ class FMModel(RecModel):
 
         sigmoid = self.cfg.fm_sigmoid
 
-        def user_fn(tables_, user_ids):
+        def user_fn(params_, user_ids):
+            tables_ = params_["tables"]
             return (
                 jnp.take(tables_["user"], user_ids, axis=0).astype(jnp.float32),
                 jnp.take(tables_["linear_user"], user_ids, axis=0)[:, 0].astype(jnp.float32),

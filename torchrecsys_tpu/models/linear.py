@@ -82,16 +82,18 @@ class LinearModel(RecModel):
         score = dot + rows["user_bias"][:, 0].astype(cd) + rows["item_bias"][:, 0].astype(cd)
         return score.astype(jnp.float32), state
 
-    def linearized_catalog(self, tables, feat):
+    def linearized_catalog(self, params, feat):
         """score = <u, i + Σ_f m_f> + b_i + b_u — exactly linear.py:78,
         factored for the fused score+top-k kernel."""
+        tables = params["tables"]
         n = self.schema.num_items
         q = tables["item"][:n].astype(jnp.float32)
         for msum in self._catalog_meta_sums(tables, feat):
             q = q + msum.astype(jnp.float32)
         item_bias = tables["item_bias"][:n, 0].astype(jnp.float32)
 
-        def user_fn(tables_, user_ids):
+        def user_fn(params_, user_ids):
+            tables_ = params_["tables"]
             return (
                 jnp.take(tables_["user"], user_ids, axis=0).astype(jnp.float32),
                 jnp.take(tables_["user_bias"], user_ids, axis=0)[:, 0].astype(jnp.float32),

@@ -1,3 +1,8 @@
+from torchrecsys_tpu.parallel.distributed import (
+    init_distributed,
+    make_global_array,
+    put_sharded,
+)
 from torchrecsys_tpu.parallel.mesh import make_mesh
 from torchrecsys_tpu.parallel.sharding import (
     batch_sharding,
@@ -12,4 +17,7 @@ __all__ = [
     "state_shardings",
     "table_sharding",
     "batch_sharding",
+    "init_distributed",
+    "make_global_array",
+    "put_sharded",
 ]

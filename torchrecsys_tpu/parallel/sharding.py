@@ -18,6 +18,31 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
+def shard_map_norep(f, mesh, in_specs, out_specs):
+    """shard_map with the replication (varying-manual-axes) checker off.
+
+    Used where the checker cannot prove what construction guarantees —
+    replicated outputs built from identical all-gathered scatters
+    (ops/fused_pairwise.py) — and where ``pallas_call`` outputs carry no
+    vma annotation at all (the fused score+top-k kernel inside
+    eval/predict.py's sharded catalog scorer). The explicit in/out specs
+    still pin every layout."""
+    try:
+        from jax import shard_map as _sm  # jax >= 0.8
+
+        return _sm(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _sm_old
+
+        return _sm_old(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+
+
 def table_sharding(mesh: jax.sharding.Mesh) -> NamedSharding:
     """Row-sharded embedding table: (rows, dim) split over 'model'."""
     return NamedSharding(mesh, P("model", None))

@@ -60,9 +60,34 @@ class SuperBatchStream:
         start = chunk_idx * self.sb
         stop = min(start + self.sb, self.n)
         chunk = {k: v[start:stop] for k, v in self.arrays.items()}
-        if self.sharding is not None:
-            return {k: jax.device_put(v, self.sharding) for k, v in chunk.items()}
+        # device_put with a 'data'-sharded layout requires the chunk length
+        # to divide the data axis; the trailing partial chunk (and tiny
+        # datasets) may not — place those replicated and let GSPMD reshard
+        # inside the epoch program (a correctness-neutral perf fallback on
+        # at most one chunk per epoch).
+        sharding = self.sharding
+        if sharding is not None and (stop - start) % self._dim0_shards(sharding):
+            sharding = None
+        if sharding is not None:
+            # multi-process meshes route through make_global_array (each
+            # host materializes only its addressable shards); single-process
+            # stays the async device_put overlap path
+            from torchrecsys_tpu.parallel.distributed import put_sharded
+
+            return put_sharded(chunk, sharding)
         return {k: jax.device_put(v) for k, v in chunk.items()}
+
+    @staticmethod
+    def _dim0_shards(sharding: jax.sharding.Sharding) -> int:
+        """Number of shards along dim 0 (1 for replicated/unsharded)."""
+        spec = getattr(sharding, "spec", None)
+        if not spec or spec[0] is None:
+            return 1
+        names = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+        out = 1
+        for nm in names:
+            out *= int(sharding.mesh.shape[nm])
+        return out
 
     def epoch(self) -> Iterator[Dict[str, jax.Array]]:
         """Yield all super-batches once, in fresh random order, with the

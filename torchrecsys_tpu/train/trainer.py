@@ -454,9 +454,10 @@ class Trainer:
         # Fully fused Pallas step (Linear/FM without metadata): the whole
         # score -> loss -> backward -> adagrad chain is one kernel over a
         # packed (rows, 128) layout — see ops/fused_pairwise.py. Under a mesh
-        # the kernel runs data-parallel (batch sharded over 'data', update
-        # rows all-gathered, identical scatters keep tables replicated); a
-        # batch that doesn't divide the 'data' axis falls back to XLA.
+        # the batch shards over 'data' (update rows all-gathered); with a
+        # sharded 'model' axis the tables stay row-sharded too (gather+psum
+        # full rows in, masked local scatter out). A batch that doesn't
+        # divide the 'data' axis falls back to XLA.
         use_pallas = fused and self._pallas_pairwise()
         if use_pallas and self.mesh is not None and b % self.mesh.shape["data"]:
             use_pallas = False
@@ -495,6 +496,14 @@ class Trainer:
                 lr_t = self._lr_at(st["step"])
                 if mesh is None:
                     nu, ni, loss = fp.fused_pairwise_step(
+                        st["tables"]["user"], st["tables"]["item"],
+                        user, pos, neg, w, lr_t, **kw,
+                    )
+                elif mesh.shape.get("model", 1) > 1:
+                    # row-sharded tables: gather+psum full rows, kernel,
+                    # all-gather updates over data, masked local scatter
+                    nu, ni, loss = fp.fused_pairwise_step_tp(
+                        mesh,
                         st["tables"]["user"], st["tables"]["item"],
                         user, pos, neg, w, lr_t, **kw,
                     )
