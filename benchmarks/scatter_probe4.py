@@ -9,24 +9,22 @@ This probe measures that kernel at the exact workload shapes:
   B = 8192 sorted ids (the user scatter) and B = 16384 (the item scatter,
   sorted variant measured too since the kernel requires sorted ids).
 
-Kernel design ("aliased revisit accumulation"): grid = B steps; the ids ride
-scalar prefetch so BOTH the input table block and the output block of step i
-are table row ids[i] (index_map reads ids_ref[i]). Pallas skips the DMA when
-consecutive steps map to the same block, so duplicate ids (adjacent, because
-sorted) accumulate in VMEM and flush once:
+Kernel design ("aliased revisit accumulation"): grid = B steps; the ids
+ride scalar prefetch so both the input table block and the output block of
+step i are the (8, 128) tile CONTAINING row ids[i] (Mosaic's minimum f32
+block; index_map reads ids_ref[i] // 8). The kernel routes update row i
+(sublane i % 8 of its (8, 128) update block) to sublane ids[i] % 8 of the
+table tile with iota masks. Pallas skips the DMA when consecutive steps map
+to the same block, so ids sharing a tile (adjacent, because sorted)
+accumulate in VMEM and flush once:
 
-  first-of-run (ids[i] != ids[i-1]):  out = table_row + upd[i]
-  continuation:                       out += upd[i]
+  first-of-tile (ids[i]//8 != ids[i-1]//8):  out = table_tile + contrib
+  continuation:                              out += contrib
 
-The table is input/output-aliased, so untouched rows stay in place and the
-touched rows are updated in HBM with exactly one 512 B read + one 512 B
-write per UNIQUE id — the theoretical minimum traffic for this op.
-
-A G-rows-per-step variant (G=8) amortizes grid-step overhead: each step
-owns updates [8i, 8i+8); all G table blocks are declared as G separate
-aliased in/out pairs. Correctness requires no id to span a step boundary
-shared with a different slot — guaranteed here by deduplicating ids into a
-(B,) unique-padded layout first (measured separately).
+The table is input/output-aliased, so untouched tiles stay in place and
+each touched tile moves exactly once: one 4 KB read + one 4 KB write per
+UNIQUE tile (~8x the per-row minimum when ids are spread, equal to it when
+ids cluster 8-per-tile).
 
 Run: python benchmarks/scatter_probe4.py   (real TPU)
 """
@@ -59,18 +57,27 @@ K = 100  # scan steps per timing
 
 def _sweep_kernel(ids_ref, tbl_ref, upd_ref, out_ref):
     i = pl.program_id(0)
-    first = jnp.logical_or(i == 0, ids_ref[i] != ids_ref[jnp.maximum(i - 1, 0)])
+    id_i = ids_ref[i]
+    prev_tile = ids_ref[jnp.maximum(i - 1, 0)] // 8
+    first = jnp.logical_or(i == 0, id_i // 8 != prev_tile)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, D), 0)
+    # update row i lives in sublane i%8 of its (8, D) update block; route it
+    # to sublane id%8 of the table tile
+    sel = jnp.sum(
+        jnp.where(row_iota == i % 8, upd_ref[:], 0.0), axis=0, keepdims=True
+    )
+    contrib = jnp.where(row_iota == id_i % 8, sel, 0.0)
 
     @pl.when(first)
     def _():
-        out_ref[:] = tbl_ref[:] + upd_ref[:]
+        out_ref[:] = tbl_ref[:] + contrib
 
     @pl.when(jnp.logical_not(first))
     def _():
-        out_ref[:] += upd_ref[:]
+        out_ref[:] += contrib
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def pallas_sweep_scatter(table, ids, upd):
     """Scatter-add upd (B, D) into table rows ids (B,) — ids SORTED."""
     b = ids.shape[0]
@@ -78,10 +85,10 @@ def pallas_sweep_scatter(table, ids, upd):
         num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, D), lambda i, ids: (ids[i], 0)),
-            pl.BlockSpec((1, D), lambda i, ids: (i, 0)),
+            pl.BlockSpec((8, D), lambda i, ids: (ids[i] // 8, 0)),
+            pl.BlockSpec((8, D), lambda i, ids: (i // 8, 0)),
         ],
-        out_specs=pl.BlockSpec((1, D), lambda i, ids: (ids[i], 0)),
+        out_specs=pl.BlockSpec((8, D), lambda i, ids: (ids[i] // 8, 0)),
     )
     return pl.pallas_call(
         _sweep_kernel,
@@ -90,7 +97,7 @@ def pallas_sweep_scatter(table, ids, upd):
         input_output_aliases={1: 0},  # table (after the scalar arg) -> out
         cost_estimate=pl.CostEstimate(
             flops=b * D,
-            bytes_accessed=3 * b * D * 4,
+            bytes_accessed=2 * b * 8 * D * 4,
             transcendentals=0,
         ),
     )(ids, table, upd)
