@@ -43,7 +43,7 @@ def test_mesh_shapes(data, model):
 def test_mesh_infers_missing_axis():
     mesh = make_mesh(model=2)
     assert mesh.shape == {"data": 4, "model": 2}
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="not divisible"):
         make_mesh(model=3)
 
 

@@ -66,7 +66,8 @@ class EASE:
 
     def scores(self, user_ids: np.ndarray) -> jnp.ndarray:
         """(B,) users -> (B, num_items) scores = X[u] @ B (ease.py:62)."""
-        assert self.b is not None, "call fit() first"
+        if self.b is None:
+            raise RuntimeError("EASE.scores requires a solve — call fit() first")
         return self.x[jnp.asarray(user_ids, jnp.int32)] @ self.b
 
     def predict(
@@ -82,6 +83,9 @@ class EASE:
 
     def get_similarity(self, item_id: int, top_k: int = 10) -> np.ndarray:
         """Top-k most similar items by B row weight (ease.py:75-85)."""
-        assert self.b is not None, "call fit() first"
+        if self.b is None:
+            raise RuntimeError(
+                "EASE.get_similarity requires a solve — call fit() first"
+            )
         _, idx = jax.lax.top_k(self.b[item_id], top_k)
         return np.asarray(idx)

@@ -41,10 +41,12 @@ def make_mesh(
     if data is None and model is None:
         data, model = n, 1
     elif data is None:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
     elif model is None:
-        assert n % data == 0, f"{n} devices not divisible by data={data}"
+        if n % data:
+            raise ValueError(f"{n} devices not divisible by data={data}")
         model = n // data
     if data * model != n:
         raise ValueError(f"data*model = {data}*{model} != {n} devices")
