@@ -263,3 +263,49 @@ def test_pallas_tower_refused_under_data_mesh():
         Trainer(model, TrainConfig(), mesh=mesh)
     # model-only sharding is fine (data axis size 1)
     Trainer(model, TrainConfig(), mesh=make_mesh(jax.devices()[:2], data=1))
+
+
+def test_predict_exclude_seen():
+    """exclude_seen drops the user's train items and keeps rank order —
+    reference only offers this on the unwired EASE (ease.py:70)."""
+    data = quickstart_data()
+    rs = RecSys(data, n_factors=8)
+    rs.fit(epochs=2, batch_size=128, verbose=False)
+    u = data["user_id"][0]
+    row = rs.store.user_encoder.encode_one(u)
+    seen_rows = rs.store.train_items[rs.store.train_users == row]
+    seen_raw = {int(rs.store.item_encoder.decode(np.asarray([i]))[0]) for i in seen_rows}
+    top = rs.predict(user_id=u, top_k=8, exclude_seen=True)
+    assert not (set(top.tolist()) & seen_raw)
+    # rank order is preserved: the unseen items appear in the same relative
+    # order as in the unfiltered list
+    full = rs.predict(user_id=u, top_k=8 + len(seen_rows)).tolist()
+    expect = [t for t in full if t not in seen_raw][:8]
+    assert top.tolist() == expect
+
+
+def test_predict_exclude_seen_cold_load_raises(tmp_path):
+    rs = RecSys(quickstart_data(), n_factors=8)
+    rs.fit(epochs=1, batch_size=128, verbose=False)
+    d = str(tmp_path / "ck")
+    rs.save(d)
+    cold = RecSys.load(d)
+    with pytest.raises(ValueError, match="exclude_seen"):
+        cold.predict(user_id=quickstart_data()["user_id"][0], top_k=5,
+                     exclude_seen=True)
+
+
+@pytest.mark.parametrize("net_type", ["linear", "fm", "mlp", "lstm", "ease"])
+def test_similar_items(net_type):
+    """similar_items works for every model with an item table (reference:
+    EASE.get_similarity only, ease.py:75-85) and never returns the query."""
+    data = quickstart_data()
+    rs = RecSys(data, n_factors=8, net_type=net_type, hidden_layers=(16, 8))
+    rs.fit(epochs=1, batch_size=128, verbose=False)
+    item = data["item_id"][0]
+    sim = rs.similar_items(item, top_k=5)
+    assert sim.shape == (5,)
+    assert item not in sim.tolist()
+    assert len(set(sim.tolist())) == 5
+    with pytest.raises(KeyError, match="unknown item_id"):
+        rs.similar_items("no-such-item")

@@ -281,12 +281,20 @@ class RecSys:
         top_k: int = 10,
         prediction_batch_size: int = 4096,
         return_raw_ids: bool = True,
+        exclude_seen: bool = False,
     ) -> np.ndarray:
         """Full-catalog top-k for one user or a batch of users.
 
         Reference: model.py:341-452 (single user, pandas per chunk, full
         sort). Here: any number of users, device-side chunked score +
         running top-k merge, raw-id decoding on the way out.
+
+        ``exclude_seen=True`` drops each user's train-split items from
+        their results (the reference offers this only on the unwired EASE,
+        ease.py:70): the scorer fetches ``top_k + max(seen)`` candidates
+        and filters host-side, so the result is exactly the top-k UNSEEN
+        items. Requires interaction data in this process (not available
+        after a cold ``RecSys.load``).
 
         Returns (top_k,) for a scalar user or (U, top_k) for a sequence.
         """
@@ -300,28 +308,102 @@ class RecSys:
             )
         except KeyError as e:
             raise KeyError(f"predict: unknown user_id — {e.args[0]}") from None
+        num_items = self.store.schema.num_items
+        seen: Optional[List[np.ndarray]] = None
+        k_fetch = min(top_k, num_items)
+        if exclude_seen:
+            if self.store.num_train == 0:
+                raise ValueError(
+                    "predict(exclude_seen=True) needs the train interactions; "
+                    "this RecSys has none (cold RecSys.load?)"
+                )
+            tu, ti = self.store.train_users, self.store.train_items
+            seen = [ti[tu == r] for r in rows]
+            k_fetch = min(top_k + max(len(s) for s in seen), num_items)
         if self.ease is not None:
             scores = self.ease.scores(rows)
-            _, ids = jax.lax.top_k(
-                scores, min(top_k, self.store.schema.num_items)
+            _, ids = jax.lax.top_k(scores, k_fetch)
+            ids = np.asarray(ids)
+        else:
+            feat = self.trainer.feature_tables(self.store)
+            params = {"tables": self.state["tables"], "dense": self.state["dense"]}
+            _, ids = catalog_topk(
+                self.model,
+                params,
+                self.state["model_state"],
+                jnp.asarray(rows),
+                num_items,
+                feat,
+                top_k=k_fetch,
+                chunk_size=prediction_batch_size,
+                mesh=self.mesh,
             )
             ids = np.asarray(ids)
-            return self._decode_items(ids, return_raw_ids, scalar)
-        feat = self.trainer.feature_tables(self.store)
-        params = {"tables": self.state["tables"], "dense": self.state["dense"]}
-        _, ids = catalog_topk(
-            self.model,
-            params,
-            self.state["model_state"],
-            jnp.asarray(rows),
-            self.store.schema.num_items,
-            feat,
-            top_k=top_k,
-            chunk_size=prediction_batch_size,
-            mesh=self.mesh,
-        )
-        ids = np.asarray(ids)
+        if seen is not None:
+            ids = self._filter_seen(ids, seen, top_k)
         return self._decode_items(ids, return_raw_ids, scalar)
+
+    @staticmethod
+    def _filter_seen(
+        ids: np.ndarray, seen: List[np.ndarray], top_k: int
+    ) -> np.ndarray:
+        """Drop each row's seen items, keep rank order, truncate to top_k.
+
+        By construction ``ids`` has ``top_k + max(|seen|)`` columns, so at
+        least ``top_k`` unseen candidates survive per row (a user cannot
+        remove more than |seen| of them); rows never need padding unless
+        the whole catalog is smaller than top_k + |seen| — then the tail is
+        filled with the last unseen candidate."""
+        out = np.empty((ids.shape[0], min(top_k, ids.shape[1])), ids.dtype)
+        for r, (row, s) in enumerate(zip(ids, seen)):
+            keep = row[~np.isin(row, s)]
+            if len(keep) < out.shape[1]:  # tiny catalogs
+                keep = np.concatenate(
+                    [keep, np.repeat(keep[-1:], out.shape[1] - len(keep))]
+                )
+            out[r] = keep[: out.shape[1]]
+        return out
+
+    def similar_items(
+        self,
+        item_id: Any,
+        top_k: int = 10,
+        return_raw_ids: bool = True,
+    ) -> np.ndarray:
+        """Top-k most similar catalog items to ``item_id``.
+
+        Reference analog: ``EASE.get_similarity`` (ease.py:75-85), which
+        exists only on the unwired EASE class. Here every model with an
+        item factor table answers it — similarity is the dot product of
+        item factor vectors, ranked by the fused score+top-k kernel — and
+        the EASE branch uses its B-matrix row weights like the reference.
+        The query item itself is excluded from the results.
+        """
+        self._require_fitted("similar_items()")
+        try:
+            row = self.store.item_encoder.encode_one(item_id)
+        except KeyError:
+            raise KeyError(f"similar_items: unknown item_id — {item_id!r}") from None
+        n = self.store.schema.num_items
+        k = min(top_k + 1, n)  # +1: the query item ranks first, drop it
+        if self.ease is not None:
+            _, ids = jax.lax.top_k(self.ease.b[row][None, :], k)
+            ids = np.asarray(ids)
+        else:
+            from torchrecsys_tpu.ops.dot_topk import dot_topk
+
+            tables = self.state["tables"]
+            if "item" not in tables:
+                raise ValueError(
+                    f"net_type {self.model_cfg.net_type!r} has no item "
+                    "factor table to compute similarities from"
+                )
+            vecs = tables["item"][:n].astype(jnp.float32)
+            q = vecs[row][None, :]
+            _, ids = dot_topk(q, vecs, jnp.zeros((n,), jnp.float32), k)
+            ids = np.asarray(ids)
+        keep = ids[0][ids[0] != row][: min(top_k, n - 1)]
+        return self._decode_items(keep[None, :], return_raw_ids, scalar=True)
 
     def _decode_items(
         self, ids: np.ndarray, return_raw_ids: bool, scalar: bool
