@@ -125,3 +125,31 @@ class TestFeistelPermutation:
         assert 0.28 * n < disp < 0.38 * n, disp
         # no fixed stride (affine) structure: successive differences vary
         assert len(np.unique(np.diff(p[:1000]))) > 900
+
+
+def test_dot_topk_tie_order_matches_xla():
+    """Bit-equal scores must rank by lowest item id, exactly like
+    jax.lax.top_k. Regression for a real TPU bug: Mosaic's jnp.argmax
+    resolves ties to the LAST index (verified on v5e), so the kernel now
+    selects via first-index-of-max (ops/dot_topk.py:_first_argmax) — this
+    test pins the intended semantics on every backend; the TPU behavior
+    was verified against XLA on hardware (cross-tile and within-tile tie
+    cases, 2026-08-21)."""
+    n, k = 1024, 6  # n_tile=256 -> 4 tiles
+    vals = np.linspace(-50, -10, n).astype(np.float32)
+    vals[7] = 9.0
+    vals[900] = 8.0
+    # cross-tile tie (tiles 1 and 3) and within-tile tie (both in tile 2)
+    vals[256 + 17] = np.float32(5.0)
+    vals[768 + 30] = np.float32(5.0)
+    vals[512 + 3] = np.float32(4.0)
+    vals[512 + 200] = np.float32(4.0)
+    uv = jnp.ones((3, 1), jnp.float32)
+    iv = jnp.asarray(vals[:, None])
+    ib = jnp.zeros((n,), jnp.float32)
+    rv, ri = dot_topk_xla(uv, iv, ib, k)
+    pv, pi = dot_topk_pallas(uv, iv, ib, k, interpret=True, n_tile=256, u_tile=8)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
+    np.testing.assert_array_equal(np.asarray(pv), np.asarray(rv))
+    # and the intended rule explicitly: lowest id first within each tie
+    assert list(np.asarray(ri)[0][2:]) == [256 + 17, 768 + 30, 512 + 3, 512 + 200]

@@ -44,12 +44,27 @@ def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
+def _first_argmax(vals: jnp.ndarray, col: jnp.ndarray, m: jnp.ndarray):
+    """Column of the FIRST (lowest-index) maximum of each row.
+
+    ``jnp.argmax`` must not be used here: Mosaic's TPU lowering resolves
+    ties to the LAST maximal index (verified empirically on v5e; interpret
+    mode and XLA pick the first), which silently breaks the kernel's
+    exact-equality contract with ``jax.lax.top_k`` whenever two candidate
+    scores collide in f32 — at 1M-item catalogs that happens routinely.
+    min-of-columns-where-equal pins the XLA tie rule on every backend.
+    """
+    big = jnp.int32(np.iinfo(np.int32).max)
+    return jnp.min(jnp.where(vals == m[:, None], col, big), axis=1)
+
+
 def _select_topk(c_vals: jnp.ndarray, c_ids: jnp.ndarray, k: int):
-    """Top-k of each row of (U, C) candidates via k unrolled argmax passes.
+    """Top-k of each row of (U, C) candidates via k unrolled max passes.
 
     Gather-free: the winning id is extracted with a one-hot reduction, and
     the winner is masked out with a one-hot ``where`` — both plain VPU ops
-    that lower in Mosaic.
+    that lower in Mosaic. Ties resolve to the lowest candidate column
+    (:func:`_first_argmax`), matching ``jax.lax.top_k``.
     """
     u, c = c_vals.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (u, c), 1)
@@ -58,7 +73,7 @@ def _select_topk(c_vals: jnp.ndarray, c_ids: jnp.ndarray, k: int):
     out_i = jnp.zeros((u, k), jnp.int32)
     for slot in range(k):
         m = jnp.max(c_vals, axis=1)
-        a = jnp.argmax(c_vals, axis=1).astype(jnp.int32)
+        a = _first_argmax(c_vals, col, m)
         onehot = col == a[:, None]
         sel_id = jnp.sum(jnp.where(onehot, c_ids, 0), axis=1)
         out_v = jnp.where(out_col == slot, m[:, None], out_v)
@@ -95,10 +110,30 @@ def _dot_topk_kernel(
     )
     s = s + bias_ref[0, :][None, :]
     u_t = s.shape[0]
-    tile_ids = j * n_tile + jax.lax.broadcasted_iota(jnp.int32, (u_t, n_tile), 1)
 
-    c_vals = jnp.concatenate([vals_scr[:], s], axis=1)
-    c_ids = jnp.concatenate([ids_scr[:], tile_ids], axis=1)
+    # Per-tile top-k straight from argmax: the tile's candidate ids are
+    # j*n_tile + lane, so the winning id IS the argmax — no (U_T, N_T)
+    # id plane to materialize and no one-hot extraction reduce per pass
+    # (each pass over the tile is max + argmax + mask-out, 3 O(N_T) ops
+    # instead of 5; measured 12.5 -> 7.3 ms at (256 users, 1M items,
+    # k=10) together with the 8192/64 tile shape).
+    col = jax.lax.broadcasted_iota(jnp.int32, (u_t, n_tile), 1)
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (u_t, k), 1)
+    tv = jnp.full((u_t, k), _NEG_INF, jnp.float32)
+    ti = jnp.zeros((u_t, k), jnp.int32)
+    for slot in range(k):
+        m = jnp.max(s, axis=1)
+        a = _first_argmax(s, col, m)  # lowest-index ties (see its docstring)
+        tv = jnp.where(out_col == slot, m[:, None], tv)
+        ti = jnp.where(out_col == slot, (j * n_tile + a)[:, None], ti)
+        s = jnp.where(col == a[:, None], _NEG_INF, s)
+
+    # Merge the tile's top-k with the running top-k — 2k candidates, the
+    # gather-free one-hot selection is negligible at this width. Carry
+    # candidates come first so ties prefer the earlier (lower-id) tile,
+    # matching jax.lax.top_k's lowest-index tie rule.
+    c_vals = jnp.concatenate([vals_scr[:], tv], axis=1)
+    c_ids = jnp.concatenate([ids_scr[:], ti], axis=1)
     out_v, out_i = _select_topk(c_vals, c_ids, k)
     vals_scr[:] = out_v
     ids_scr[:] = out_i
@@ -119,12 +154,14 @@ def dot_topk_pallas(
     """(U, k) top-k scores + item indices of ``user_vecs @ item_vecs.T +
     item_bias``, descending.
 
-    Tile defaults from a measured sweep on v5e at (U=256, N=1M, D=80,
-    k=10): per-grid-step fixed costs (scratch re-reads, concat allocs)
-    dominate small item tiles — 512 → 37.3 ms/batch, 2048 → 14.8,
-    4096 → 12.5 (3x; the old 512 default even lost to the XLA
-    matmul+top_k at 18.5 ms). 8192 with u_tile=256 exceeds the 16 MB
-    VMEM scoped limit."""
+    Tile defaults from measured sweeps on v5e at (U=256, N=1M, D=80).
+    Round 3 (old concat-selection kernel, k=10): 512 → 37.3 ms/batch,
+    2048 → 14.8, 4096 → 12.5. Round 4 rewrote the selection — per-tile
+    top-k straight from first-index-of-max (no (U, N) id plane, no one-hot
+    extraction reduce) then a 2k-wide merge — and re-swept: k=10
+    4096/128 → 11.4, 8192/128 → **10.3** (the new default; 22.6K → 24.8K
+    users/s end-to-end); k=32 4096/128 → 22.0 (vs 27.6 before); k=64
+    4096/128 → 42.8. 16384-item tiles exceed VMEM at every u_tile."""
     u, d = user_vecs.shape
     n = item_vecs.shape[0]
     k = min(k, n)
@@ -193,13 +230,13 @@ def dot_topk_xla(
     return jax.lax.top_k(scores, k)
 
 
-# Above this k the unrolled argmax selection becomes instruction-count bound
-# and XLA's sort-based top_k wins. Measured on v5e, 1M-item catalog, 256
-# users, n_tile=4096: pallas/XLA ms-per-batch = 12.5/18.5 at k=10,
-# 16.6/23.4 at k=16, 27.6/36.2 at k=32 — pallas 1.3-1.5x faster through
-# k=32 and extrapolating to rough parity near k=64; beyond that XLA's sort
-# wins. (The old 512-item tile measured 2x at k<=32 only against a slower
-# kernel baseline; see the dot_topk_pallas docstring for the tile sweep.)
+# Above this k the unrolled per-slot selection becomes instruction-count
+# bound and XLA's sort-based top_k closes in. Measured on v5e, 1M-item
+# catalog, 256 users, round-4 kernel: pallas/XLA ms-per-batch =
+# 10.3/18.6 at k=10, 13.0/23.7 at k=16, 22.0/36.4 at k=32, 42.8/61.9 at
+# k=64 — pallas 1.45-1.8x faster through k=64. Beyond that the unrolled
+# loop's compile time and VPU instruction count grow linearly while XLA's
+# sort amortizes (k=128 XLA: 108 ms), so larger k falls back.
 _PALLAS_MAX_K = 64
 
 
@@ -212,8 +249,9 @@ def dot_topk(
     """Fused score+top-k: Pallas kernel on TPU (serving-typical k), XLA
     fallback elsewhere and for very large k."""
     if jax.default_backend() == "tpu" and k <= _PALLAS_MAX_K:
-        # the selection's concat candidate buffers scale with n_tile + k;
-        # k > 32 at n_tile=4096 exceeds the 16 MB scoped-VMEM limit
-        n_tile = 4096 if k <= 32 else 2048
+        # larger tiles amortize per-grid-step fixed costs, but the VMEM
+        # score block + per-slot loop state cap the tile as k grows
+        # (measured sweep in the dot_topk_pallas docstring)
+        n_tile = 8192 if k <= 16 else 4096
         return dot_topk_pallas(user_vecs, item_vecs, item_bias, k, n_tile=n_tile)
     return dot_topk_xla(user_vecs, item_vecs, item_bias, k)
