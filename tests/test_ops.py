@@ -153,3 +153,34 @@ def test_dot_topk_tie_order_matches_xla():
     np.testing.assert_array_equal(np.asarray(pv), np.asarray(rv))
     # and the intended rule explicitly: lowest id first within each tie
     assert list(np.asarray(ri)[0][2:]) == [256 + 17, 768 + 30, 512 + 3, 512 + 200]
+
+
+def test_dot_topk_bf16_vectors():
+    """use_amp models feed bf16 factor vectors: the kernel keeps them bf16
+    (half the item-matrix stream) with f32 score accumulation, and must
+    match the XLA path computed the same way."""
+    uv, iv, ib = _rand(6, 700, 32, seed=3)
+    uvb, ivb = uv.astype(jnp.bfloat16), iv.astype(jnp.bfloat16)
+    rv, ri = dot_topk_xla(uvb, ivb, ib, 8)
+    pv, pi = dot_topk_pallas(uvb, ivb, ib, 8, interpret=True, n_tile=256)
+    assert rv.dtype == jnp.float32 and pv.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(rv), rtol=1e-6)
+
+
+def test_amp_linear_fused_predict_matches_chunked():
+    """With use_amp the fused catalog path now scores in bf16 like the
+    chunked scorer itself — the two paths agree on ids."""
+    schema = DataSchema(num_users=40, num_items=60)
+    model = build_model(
+        schema,
+        ModelConfig(net_type="linear", n_factors=16, compute_dtype="bfloat16"),
+    )
+    params, state = model.init(jax.random.PRNGKey(1))
+    users = jnp.arange(8, dtype=jnp.int32)
+    fs, fi = _fused_catalog_topk(model, params, users, 60, None, 5)
+    gs, gi = full_catalog_topk(model, params, state, users, 60, None, top_k=5)
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(gi))
+    np.testing.assert_allclose(
+        np.asarray(fs), np.asarray(gs), rtol=2e-2, atol=2e-2
+    )

@@ -166,7 +166,7 @@ def _sharded_catalog_topk(
     r_pad = -(-n // m) * m
     # padded rows get -inf bias so they never win a local top-k; each shard
     # is r_pad // m rows so BlockSpecs stay uniform across devices
-    iv = jnp.zeros((r_pad, d), jnp.float32).at[:n].set(item_vecs)
+    iv = jnp.zeros((r_pad, d), item_vecs.dtype).at[:n].set(item_vecs)
     ib = jnp.full((r_pad,), -jnp.inf, jnp.float32).at[:n].set(item_bias)
     iv = jax.lax.with_sharding_constraint(iv, NamedSharding(mesh, P(axis, None)))
     ib = jax.lax.with_sharding_constraint(ib, NamedSharding(mesh, P(axis)))

@@ -127,13 +127,15 @@ class FMModel(RecModel):
                 lin_item = lin_item + masked_sum(lemb, feat["meta_mask"][:, f, :])[:, 0]
         item_const = 0.5 * (jnp.sum(q * q, axis=-1) - sq_sum)
         item_bias = item_const + lin_item
+        vd = self.compute_dtype if self.compute_dtype == jnp.bfloat16 else jnp.float32
+        q = q.astype(vd)
 
         sigmoid = self.cfg.fm_sigmoid
 
         def user_fn(params_, user_ids):
             tables_ = params_["tables"]
             return (
-                jnp.take(tables_["user"], user_ids, axis=0).astype(jnp.float32),
+                jnp.take(tables_["user"], user_ids, axis=0).astype(vd),
                 jnp.take(tables_["linear_user"], user_ids, axis=0)[:, 0].astype(jnp.float32),
             )
 

@@ -84,18 +84,23 @@ class LinearModel(RecModel):
 
     def linearized_catalog(self, params, feat):
         """score = <u, i + Σ_f m_f> + b_i + b_u — exactly linear.py:78,
-        factored for the fused score+top-k kernel."""
+        factored for the fused score+top-k kernel. With ``use_amp`` (bf16
+        compute) the factor vectors stay bf16 — half the item-matrix HBM
+        stream, matching the chunked scorer's own precision — while biases
+        and score accumulation stay f32."""
         tables = params["tables"]
         n = self.schema.num_items
+        vd = self.compute_dtype if self.compute_dtype == jnp.bfloat16 else jnp.float32
         q = tables["item"][:n].astype(jnp.float32)
         for msum in self._catalog_meta_sums(tables, feat):
             q = q + msum.astype(jnp.float32)
+        q = q.astype(vd)
         item_bias = tables["item_bias"][:n, 0].astype(jnp.float32)
 
         def user_fn(params_, user_ids):
             tables_ = params_["tables"]
             return (
-                jnp.take(tables_["user"], user_ids, axis=0).astype(jnp.float32),
+                jnp.take(tables_["user"], user_ids, axis=0).astype(vd),
                 jnp.take(tables_["user_bias"], user_ids, axis=0)[:, 0].astype(jnp.float32),
             )
 

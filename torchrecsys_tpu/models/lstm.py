@@ -163,13 +163,14 @@ class LSTMModel(RecModel):
             )
         n = self.schema.num_items
         tables = params["tables"]
-        item_vecs = tables["item"][:n].astype(jnp.float32)
+        vd = self.compute_dtype if self.compute_dtype == jnp.bfloat16 else jnp.float32
+        item_vecs = tables["item"][:n].astype(vd)
         item_bias = tables["item_bias"][:n, 0].astype(jnp.float32)
 
         def user_fn(params_, user_ids):
             h = self.encode_users(params_, feat, user_ids)
             return (
-                h.astype(jnp.float32),
+                h.astype(vd),
                 jnp.zeros((user_ids.shape[0],), jnp.float32),
             )
 

@@ -166,17 +166,26 @@ def dot_topk_pallas(
     n = item_vecs.shape[0]
     k = min(k, n)
 
-    u_t = min(_round_up(u, 8), u_tile)
+    # The vector dtype is honored: bf16 inputs (use_amp models) stream the
+    # item matrix at half the HBM bytes and run the MXU in bf16; scores
+    # still accumulate in f32 (preferred_element_type below), so the
+    # selection path is unchanged. bf16 tiles need 16-row sublane alignment.
+    vdt = jnp.promote_types(user_vecs.dtype, item_vecs.dtype)
+    if vdt not in (jnp.float32, jnp.bfloat16):
+        vdt = jnp.float32
+    row_align = 16 if vdt == jnp.bfloat16 else 8
+
+    u_t = min(_round_up(u, row_align), u_tile)
     u_pad = _round_up(u, u_t)
     d_pad = _round_up(d, 128)
     n_t = min(_round_up(n, 128), n_tile)
     n_pad = _round_up(n, n_t)
 
-    uv = jnp.zeros((u_pad, d_pad), jnp.float32).at[:u, :d].set(
-        user_vecs.astype(jnp.float32)
+    uv = jnp.zeros((u_pad, d_pad), vdt).at[:u, :d].set(
+        user_vecs.astype(vdt)
     )
-    iv = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(
-        item_vecs.astype(jnp.float32)
+    iv = jnp.zeros((n_pad, d_pad), vdt).at[:n, :d].set(
+        item_vecs.astype(vdt)
     )
     # padded items get -inf bias so they never win
     ib = jnp.full((1, n_pad), _NEG_INF, jnp.float32).at[0, :n].set(
@@ -207,7 +216,8 @@ def dot_topk_pallas(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * u_pad * n_pad * d_pad,
-            bytes_accessed=(u_pad * d_pad + n_pad * d_pad + u_pad * k * 2) * 4,
+            bytes_accessed=(u_pad * d_pad + n_pad * d_pad) * vdt.itemsize
+            + u_pad * k * 2 * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -221,12 +231,20 @@ def dot_topk_xla(
     item_bias: jnp.ndarray,
     k: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pure-XLA reference implementation (also the non-TPU fallback)."""
+    """Pure-XLA reference implementation (also the non-TPU fallback).
+
+    Like the kernel, the vector dtype is honored (bf16 stays bf16 on the
+    MXU) with f32 score accumulation."""
     k = min(k, item_vecs.shape[0])
-    scores = (
-        user_vecs.astype(jnp.float32) @ item_vecs.astype(jnp.float32).T
-        + item_bias.astype(jnp.float32)[None, :]
-    )
+    vdt = jnp.promote_types(user_vecs.dtype, item_vecs.dtype)
+    if vdt not in (jnp.float32, jnp.bfloat16):
+        vdt = jnp.float32
+    scores = jax.lax.dot_general(
+        user_vecs.astype(vdt),
+        item_vecs.astype(vdt),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + item_bias.astype(jnp.float32)[None, :]
     return jax.lax.top_k(scores, k)
 
 
