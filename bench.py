@@ -27,7 +27,7 @@ Metrics, in print order:
    Pallas score+top-k kernel (ops/dot_topk.py); no reference counterpart
    survives at this scale (its per-chunk pandas predict would take minutes
    per query), so ``vs_baseline`` extrapolates against 770 q/s.
-7. ``predict_qps_linear_1m_sharded`` — the same through the model-axis-
+7. ``predict_qps_linear_1m_sharded`` / ``predict_qps_linear_1m_amp`` — the same through the model-axis-
    sharded catalog scorer (eval/predict.py:_sharded_catalog_topk) on a
    trivial (1,1) mesh: proves the sharded serving path costs ~nothing on
    one chip (``vs_baseline`` = ratio to the unsharded #6 run).
@@ -196,13 +196,17 @@ def bench_linear_pallas_vs_xla(store) -> None:
 
 def bench_predict_qps(n_users: int, n_items: int, batch_users: int, name: str,
                       vs_baseline_scale: float, net_type: str = "linear",
-                      mesh=None, emit_result: bool = True) -> float:
+                      mesh=None, emit_result: bool = True,
+                      compute_dtype: str = "float32") -> float:
     from torchrecsys_tpu.config import DataSchema, ModelConfig
     from torchrecsys_tpu.eval.predict import catalog_topk
     from torchrecsys_tpu.models import build_model
 
     schema = DataSchema(num_users=n_users, num_items=n_items)
-    model = build_model(schema, ModelConfig(net_type=net_type, n_factors=80))
+    model = build_model(
+        schema,
+        ModelConfig(net_type=net_type, n_factors=80, compute_dtype=compute_dtype),
+    )
     params, state = model.init(jax.random.PRNGKey(0))
     user_ids = jnp.arange(batch_users, dtype=jnp.int32) % n_users
     feat = None
@@ -283,6 +287,10 @@ def main() -> None:
     mesh = make_mesh(jax.devices()[:1], data=1, model=1)
     bench_predict_qps(100_000, 1_000_000, 256, "predict_qps_linear_1m_sharded",
                       qps_1m, mesh=mesh)
+    # amp models stream the item matrix in bf16 (half the HBM bytes, f32
+    # score accumulation) — vs_baseline = ratio to the f32 run above
+    bench_predict_qps(100_000, 1_000_000, 256, "predict_qps_linear_1m_amp",
+                      qps_1m, compute_dtype="bfloat16")
     bench_predict_qps(100_000, 100_000, 256, "predict_qps_lstm_100k",
                       BASELINE_PREDICT_QPS_1K, net_type="lstm")
 
