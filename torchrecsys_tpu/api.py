@@ -495,6 +495,7 @@ class RecSys:
             tuple(IdEncoder.from_list(v).freeze() for v in meta["vocabs"]),
         )
         empty = np.zeros((0,), np.int32)
+        hist = aux.get("history")
         store = InteractionStore(
             schema=schema,
             user_encoder=IdEncoder.from_list(aux["user_vocab"]).freeze(),
@@ -504,6 +505,7 @@ class RecSys:
             train_items=empty,
             test_users=empty,
             test_items=empty,
+            history_override=(hist["ids"], hist["mask"]) if hist else None,
         )
         self = cls.__new__(cls)
         self.debug = False

@@ -78,9 +78,13 @@ class ModelConfig:
     # NeuCF: GMF+MLP dual towers (reference neu.py is broken/unreachable;
     # rebuilt working here).
     neucf_hidden_layers: Tuple[int, ...] = (64, 32)
-    # LSTM sequence model: length of the per-user history window
-    # (reference's sequence/ package is an empty stub — SURVEY §2.8)
+    # Sequence models (lstm / sasrec): length of the per-user history
+    # window (reference's sequence/ package is an empty stub — SURVEY §2.8)
     history_len: int = 20
+    # SASRec encoder shape (models/sasrec.py): number of attention blocks
+    # and heads; n_factors must divide sasrec_heads
+    sasrec_blocks: int = 2
+    sasrec_heads: int = 2
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # set "bfloat16" for MXU-friendly compute
     # Run the MLP tower's training forward/backward through the fused Pallas

@@ -44,6 +44,12 @@ class InteractionStore:
     test_items: np.ndarray
     train_neg_items: Optional[np.ndarray] = None
     test_neg_items: Optional[np.ndarray] = None
+    # (ids (U, L), mask (U, L)) restored from a checkpoint: sequence models'
+    # user histories derive from the train split, which a cold
+    # ``RecSys.load`` does not have — without this, cold-loaded lstm/sasrec
+    # predict would silently encode every user from an empty history
+    # (utils/checkpoint.py packs it; api.py:RecSys.load threads it through)
+    history_override: Optional[tuple] = None
 
     _token_counter = itertools.count()
 
@@ -136,6 +142,16 @@ class InteractionStore:
         decides whether (and where) it lands in the fixed-width window —
         O(n log n) numpy for any split size (a Python-loop build takes
         minutes at the 10M-row scale)."""
+        if self.history_override is not None:
+            o_ids, o_mask = self.history_override
+            if o_ids.shape[1] == length:
+                return o_ids, o_mask
+            if self.num_train == 0:
+                raise ValueError(
+                    f"checkpointed user history has window {o_ids.shape[1]} "
+                    f"but {length} was requested, and this store has no "
+                    "interactions to rebuild from"
+                )
         n_users = self.schema.num_users
         ids = np.zeros((n_users, length), np.int32)
         mask = np.zeros((n_users, length), bool)

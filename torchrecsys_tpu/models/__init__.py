@@ -16,6 +16,7 @@ from torchrecsys_tpu.models.linear import LinearModel
 from torchrecsys_tpu.models.lstm import LSTMModel
 from torchrecsys_tpu.models.mlp import MLPModel
 from torchrecsys_tpu.models.neucf import NeuCFModel
+from torchrecsys_tpu.models.sasrec import SASRecModel
 
 MODEL_REGISTRY = {
     "linear": LinearModel,
@@ -23,6 +24,7 @@ MODEL_REGISTRY = {
     "fm": FMModel,
     "neucf": NeuCFModel,
     "lstm": LSTMModel,
+    "sasrec": SASRecModel,
 }
 
 
@@ -50,5 +52,6 @@ __all__ = [
     "FMModel",
     "NeuCFModel",
     "LSTMModel",
+    "SASRecModel",
     "EASE",
 ]

@@ -61,9 +61,11 @@ def load_aux(directory: str) -> Optional[Dict[str, Any]]:
 
 def pack_store_aux(store, model_cfg: ModelConfig, train_cfg: Optional[TrainConfig]) -> Dict[str, Any]:
     """Everything beyond the numeric state that a cold restore needs:
-    raw-id vocabularies, the item metadata table, and the configs."""
+    raw-id vocabularies, the item metadata table, the configs — and, for
+    sequence models, the per-user history tables (they derive from the
+    train split, which a cold process does not have)."""
     m = store.metadata
-    return {
+    aux: Dict[str, Any] = {
         "user_vocab": store.user_encoder.to_list(),
         "item_vocab": store.item_encoder.to_list(),
         "metadata": {
@@ -75,6 +77,13 @@ def pack_store_aux(store, model_cfg: ModelConfig, train_cfg: Optional[TrainConfi
         "model_cfg": dataclasses.asdict(model_cfg),
         "train_cfg": dataclasses.asdict(train_cfg) if train_cfg else None,
     }
+    from torchrecsys_tpu.models import MODEL_REGISTRY
+
+    cls = MODEL_REGISTRY.get(model_cfg.net_type)
+    if getattr(cls, "needs_history", False):
+        h_ids, h_mask = store.user_history(model_cfg.history_len)
+        aux["history"] = {"ids": np.asarray(h_ids), "mask": np.asarray(h_mask)}
+    return aux
 
 
 def restore_checkpoint(directory: str, target_state: Dict[str, Any]) -> Dict[str, Any]:
