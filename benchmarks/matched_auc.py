@@ -181,7 +181,7 @@ def main():
     ap.add_argument("--fw_lr", type=float, default=0.05)
     ap.add_argument(
         "--net",
-        choices=["mlp", "linear", "fm", "neucf", "lstm"],
+        choices=["mlp", "linear", "fm", "neucf", "lstm", "sasrec"],
         default="mlp",
     )
     ap.add_argument("--skip", choices=["reference", "framework"], default=None)
@@ -205,7 +205,7 @@ def main():
             out["reference_auc"] = round(ref["auc"], 4)
             out["reference_fit_s"] = round(ref["fit_s"], 2)
         except Exception as e:  # noqa: BLE001 - reference defect surface
-            if args.net not in ("neucf", "lstm"):
+            if args.net not in ("neucf", "lstm", "sasrec"):
                 raise
             out["reference_auc"] = None
             out["reference_error"] = f"{type(e).__name__}: {e}"
