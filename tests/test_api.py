@@ -309,3 +309,18 @@ def test_similar_items(net_type):
     assert len(set(sim.tolist())) == 5
     with pytest.raises(KeyError, match="unknown item_id"):
         rs.similar_items("no-such-item")
+
+
+def test_predict_exclude_seen_entire_catalog_raises():
+    """A user who has seen every item gets a clear error, not a crash."""
+    r = np.random.default_rng(0)
+    n_items = 6
+    users = np.concatenate([np.zeros(n_items * 3, int), r.integers(1, 10, 60)])
+    items = np.concatenate(
+        [np.tile(np.arange(n_items), 3), r.integers(0, n_items, 60)]
+    )
+    rs = RecSys({"user_id": users, "item_id": items}, n_factors=4,
+                split_ratio=1.0)
+    rs.fit(epochs=1, batch_size=32, verbose=False)
+    with pytest.raises(ValueError, match="entire catalog"):
+        rs.predict(user_id=0, top_k=3, exclude_seen=True)

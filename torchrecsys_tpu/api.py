@@ -357,6 +357,12 @@ class RecSys:
         out = np.empty((ids.shape[0], min(top_k, ids.shape[1])), ids.dtype)
         for r, (row, s) in enumerate(zip(ids, seen)):
             keep = row[~np.isin(row, s)]
+            if len(keep) == 0:
+                raise ValueError(
+                    "predict(exclude_seen=True): a requested user has "
+                    "interacted with the entire catalog — nothing unseen "
+                    "to recommend"
+                )
             if len(keep) < out.shape[1]:  # tiny catalogs
                 keep = np.concatenate(
                     [keep, np.repeat(keep[-1:], out.shape[1] - len(keep))]
