@@ -158,8 +158,9 @@ class TrainConfig:
     # Run the whole train step (score -> loss -> backward -> adagrad math) as
     # ONE Pallas kernel over packed (rows, 128) tables when the model/config
     # supports it (Linear/FM without metadata, rowwise_adagrad, f32 params
-    # AND f32 compute) — see ops/fused_pairwise.py. Under a mesh with an
-    # unsharded 'model' axis the kernel runs data-parallel via shard_map.
+    # AND f32 compute) — see ops/fused_pairwise.py. Under a mesh the batch
+    # shards over 'data'; a sharded 'model' axis keeps tables row-sharded
+    # too (gather+psum in, masked local scatter out — fused_pairwise_step_tp).
     #   "auto"  (default): kernel on TPU, XLA step on other backends —
     #           Pallas interpret mode exists for parity testing, not speed.
     #   True:   force the kernel wherever applicable (interpret off-TPU).
