@@ -156,3 +156,13 @@ def test_cold_load_predict_uses_checkpointed_history(net_type, tmp_path):
     # and the histories are genuinely non-trivial (different users differ)
     h = cold.store.user_history(5)
     assert h[1].any()
+
+
+def test_heads_must_divide_factors():
+    from torchrecsys_tpu.config import DataSchema
+
+    with pytest.raises(ValueError, match="divisible"):
+        build_model(
+            DataSchema(num_users=10, num_items=10),
+            ModelConfig(net_type="sasrec", n_factors=8, sasrec_heads=3),
+        )

@@ -52,6 +52,14 @@ class SASRecModel(RecModel):
     # score+top-k kernel.
     supports_linearized_catalog = True
 
+    def __init__(self, schema, cfg) -> None:
+        super().__init__(schema, cfg)
+        if cfg.n_factors % cfg.sasrec_heads:
+            raise ValueError(
+                f"sasrec: n_factors={cfg.n_factors} must be divisible by "
+                f"sasrec_heads={cfg.sasrec_heads}"
+            )
+
     def table_specs(self) -> Dict[str, TableSpec]:
         d = self.cfg.n_factors
         s = self.schema
