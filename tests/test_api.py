@@ -324,3 +324,11 @@ def test_predict_exclude_seen_entire_catalog_raises():
     rs.fit(epochs=1, batch_size=32, verbose=False)
     with pytest.raises(ValueError, match="entire catalog"):
         rs.predict(user_id=0, top_k=3, exclude_seen=True)
+
+
+def test_fit_lr_schedule_through_facade():
+    rs = RecSys(quickstart_data(), n_factors=8)
+    losses = rs.fit(epochs=2, batch_size=128, verbose=False,
+                    lr_schedule={"kind": "cosine", "decay_steps": 20})
+    assert len(losses) == 2 and np.isfinite(losses).all()
+    assert rs.trainer.cfg.lr_schedule == {"kind": "cosine", "decay_steps": 20}
