@@ -332,3 +332,124 @@ def test_fit_lr_schedule_through_facade():
                     lr_schedule={"kind": "cosine", "decay_steps": 20})
     assert len(losses) == 2 and np.isfinite(losses).all()
     assert rs.trainer.cfg.lr_schedule == {"kind": "cosine", "decay_steps": 20}
+
+
+class TestIncrementalTraining:
+    """update_data / partial_fit: vocab growth with preserved trained rows
+    (no reference analog — its dataset is built once and frozen)."""
+
+    def _base(self, net_type="linear"):
+        rs = RecSys(quickstart_data(), n_factors=8, net_type=net_type,
+                    hidden_layers=(16, 8))
+        rs.fit(epochs=2, batch_size=128, verbose=False)
+        return rs
+
+    def test_grows_vocab_and_preserves_trained_rows(self):
+        import jax.numpy as jnp
+
+        from torchrecsys_tpu.eval.predict import full_catalog_scores
+
+        rs = self._base()
+        old_users = rs.store.schema.num_users
+        old_items = rs.store.schema.num_items
+        old_user_table = np.asarray(rs.state["tables"]["user"])
+        old_scores = np.asarray(full_catalog_scores(
+            rs.model,
+            {"tables": rs.state["tables"], "dense": rs.state["dense"]},
+            rs.state["model_state"], jnp.arange(4, dtype=jnp.int32), old_items,
+        ))
+        new = {
+            "user_id": np.asarray([1000, 1000, 1001, 2, 3] * 8),
+            "item_id": np.asarray([900, 901, 902, 900, 901] * 8),
+        }
+        rs.update_data(new)
+        assert rs.store.schema.num_users == old_users + 2
+        assert rs.store.schema.num_items == old_items + 3
+        # trained rows bit-preserved
+        np.testing.assert_array_equal(
+            np.asarray(rs.state["tables"]["user"])[: old_user_table.shape[0]],
+            old_user_table,
+        )
+        # old users' scores over the OLD catalog unchanged before refit
+        new_scores = np.asarray(full_catalog_scores(
+            rs.model,
+            {"tables": rs.state["tables"], "dense": rs.state["dense"]},
+            rs.state["model_state"], jnp.arange(4, dtype=jnp.int32),
+            rs.store.schema.num_items,
+        ))
+        np.testing.assert_allclose(new_scores[:, :old_items], old_scores,
+                                   rtol=1e-6)
+        # continue training; predict works for a NEW raw user over raw ids
+        losses = rs.fit(epochs=2, batch_size=128, verbose=False)
+        assert np.isfinite(losses).all()
+        top = rs.predict(user_id=1000, top_k=5)
+        assert top.shape == (5,)
+
+    def test_partial_fit_one_call(self):
+        rs = self._base()
+        new = {"user_id": np.asarray([500] * 40),
+               "item_id": np.asarray(list(range(40)))}
+        losses = rs.partial_fit(new, epochs=1, batch_size=128, verbose=False)
+        assert len(losses) == 1 and np.isfinite(losses).all()
+        assert rs.predict(user_id=500, top_k=3).shape == (3,)
+
+    @pytest.mark.parametrize("net_type", ["mlp", "sasrec"])
+    def test_models_with_dense_and_history(self, net_type):
+        rs = self._base(net_type=net_type)
+        new = {"user_id": np.asarray([1000] * 30),
+               "item_id": np.asarray([i % 45 for i in range(30)])}
+        losses = rs.partial_fit(new, epochs=1, batch_size=128, verbose=False)
+        assert np.isfinite(losses).all()
+        assert rs.predict(user_id=1000, top_k=4).shape == (4,)
+
+    def test_metadata_store_refuses(self):
+        rs = RecSys(quickstart_data(metadata=True), n_factors=8,
+                    metadata_id_col=["category_ids"])
+        rs.fit(epochs=1, batch_size=128, verbose=False)
+        with pytest.raises(ValueError, match="metadata"):
+            rs.update_data({"user_id": np.asarray([1]),
+                            "item_id": np.asarray([1])})
+
+    def test_static_negative_mode(self):
+        data = quickstart_data()
+        rs = RecSys(data, n_factors=8, dynamic_neg_sampling=False)
+        rs.fit(epochs=1, batch_size=128, verbose=False)
+        n0 = rs.store.num_train
+        rs.update_data({"user_id": np.asarray([9, 9, 9, 9, 9]),
+                        "item_id": np.asarray([1, 2, 3, 4, 5])})
+        assert rs.store.num_train > n0
+        assert rs.store.train_neg_items is not None
+        assert len(rs.store.train_neg_items) == rs.store.num_train
+        losses = rs.fit(epochs=1, batch_size=128, verbose=False)
+        assert np.isfinite(losses).all()
+
+    def test_ease_update_requires_refit(self):
+        rs = RecSys(quickstart_data(), n_factors=8, net_type="ease")
+        rs.fit(verbose=False)
+        rs.update_data({"user_id": np.asarray([1000] * 5),
+                        "item_id": np.asarray([0, 1, 2, 3, 4])})
+        with pytest.raises(RuntimeError, match="call fit"):
+            rs.predict(user_id=1000, top_k=3)
+        rs.fit(verbose=False)
+        assert rs.predict(user_id=1000, top_k=3).shape == (3,)
+
+
+def test_incremental_training_on_mesh():
+    """update_data under a mesh re-shards the grown tables and training
+    continues with single-device-equal results."""
+    import jax
+
+    from torchrecsys_tpu.parallel import make_mesh
+
+    def run(mesh):
+        rs = RecSys(quickstart_data(), n_factors=8, mesh=mesh, seed=11)
+        rs.fit(epochs=1, batch_size=128, verbose=False)
+        rs.update_data({"user_id": np.asarray([777] * 16),
+                        "item_id": np.asarray([i % 40 for i in range(16)])})
+        losses = rs.fit(epochs=1, batch_size=128, verbose=False)
+        return losses, rs.predict(user_id=777, top_k=5)
+
+    l0, p0 = run(None)
+    l1, p1 = run(make_mesh(data=4, model=2))
+    np.testing.assert_allclose(l1, l0, rtol=2e-4, atol=1e-6)
+    np.testing.assert_array_equal(p1, p0)

@@ -64,6 +64,10 @@ class RecSys:
         self.path = path
         self.seed = seed
         self.mesh = mesh
+        # remembered for update_data/partial_fit (incremental training)
+        self._user_col = user_id_col
+        self._item_col = item_id_col
+        self._split_ratio = split_ratio
         self.store: InteractionStore = prepare_data(
             dataset,
             user_id_col=user_id_col,
@@ -426,6 +430,70 @@ class RecSys:
         return out[0] if scalar else out
 
     # ------------------------------------------------------------------
+    def update_data(
+        self,
+        dataset: Any,
+        user_id_col: Optional[str] = None,
+        item_id_col: Optional[str] = None,
+        split_ratio: Optional[float] = None,
+    ) -> None:
+        """Extend the dataset with NEW interactions — incremental training.
+
+        No reference analog (its dataset object is built once, SURVEY §2.2).
+        Unseen raw user/item ids extend the vocabularies with new rows at
+        the end, the new interactions get their own seeded split and are
+        appended, and the trained state GROWS: existing embedding rows (and
+        their adagrad accumulators) are preserved bit-for-bit, new rows get
+        fresh initialization (train/trainer.py:grow_state). Continue with
+        ``fit()`` — or use :meth:`partial_fit` for the one-call form.
+
+        Boundaries: metadata-bearing stores cannot be extended in place
+        (clear error — rebuild instead), and a cold-loaded model's frozen
+        encoders accept new interactions of KNOWN users/items only.
+        """
+        from torchrecsys_tpu.data.interactions import extend_store
+
+        self.store = extend_store(
+            self.store,
+            dataset,
+            user_id_col or self._user_col,
+            item_id_col or self._item_col,
+            split_ratio=split_ratio
+            if split_ratio is not None
+            else self._split_ratio,
+            dynamic_neg_sampling=self.dynamic_neg_sampling,
+            seed=self.seed + 43,
+        )
+        if self.ease is not None:
+            from torchrecsys_tpu.models.ease import EASE
+
+            s = self.store.schema
+            # closed form: solve again over the extended interactions
+            self.ease = EASE(s.num_users, s.num_items, lam=self.ease.lam)
+            return
+        self.model = build_model(self.store.schema, self.model_cfg)
+        if self.state is not None:
+            from torchrecsys_tpu.train.trainer import grow_state
+
+            self.state = grow_state(
+                self.state, self.model, jax.random.PRNGKey(self.seed + 1)
+            )
+            if self.mesh is not None:
+                # growth ran as eager ops with default placement; restore
+                # the canonical row-sharded layout on the mesh
+                from torchrecsys_tpu.parallel.sharding import shard_state
+
+                self.state = shard_state(self.state, self.mesh)
+        # the trainer binds the old model object; rebind (same train config)
+        if self.trainer is not None:
+            self.trainer = Trainer(self.model, self.trainer.cfg, mesh=self.mesh)
+
+    def partial_fit(self, dataset: Any, **fit_kwargs) -> List[float]:
+        """``update_data(dataset)`` + ``fit(**fit_kwargs)`` in one call."""
+        self.update_data(dataset)
+        return self.fit(**fit_kwargs)
+
+    # ------------------------------------------------------------------
     def save(self, directory: str) -> None:
         """Checkpoint everything a cold process needs: the sharded train
         state (Orbax), the schema, the raw-id vocabularies, the metadata
@@ -517,6 +585,9 @@ class RecSys:
         self.debug = False
         self.path = directory
         self.mesh = mesh
+        self._user_col = "user_id"
+        self._item_col = "item_id"
+        self._split_ratio = 0.8
         self.store = store
         self.model_cfg = ModelConfig(**aux["model_cfg"])
         self.dynamic_neg_sampling = bool(

@@ -254,3 +254,98 @@ def prepare_data(
         train_neg_items=train_neg,
         test_neg_items=test_neg,
     )
+
+
+def extend_store(
+    store: InteractionStore,
+    dataset: Any,
+    user_id_col: str,
+    item_id_col: str,
+    split_ratio: float = 0.8,
+    dynamic_neg_sampling: bool = False,
+    seed: int = 43,
+) -> InteractionStore:
+    """Grow a store with NEW interactions — incremental/continual training.
+
+    No reference analog (its dataset object is built once and frozen); this
+    is the data half of ``RecSys.update_data``:
+
+    - raw ids encode through the store's EXISTING encoders, which extend
+      in place for unseen users/items (new contiguous rows at the end, so
+      every already-trained embedding row keeps its index);
+    - the new rows get their own seeded train/test split and are appended
+      to the existing splits;
+    - the schema's vocab sizes grow to the extended encoders'.
+
+    Boundaries, stated plainly: metadata-bearing stores cannot be extended
+    yet (growing the item-metadata table and its vocabularies is a rebuild —
+    raise rather than silently desync), and a cold-loaded store's frozen
+    encoders refuse unseen ids (KeyError from IdEncoder).
+
+    Static-negative mode samples the NEW rows' negatives over the GROWN
+    catalog; existing rows keep their original negatives (drawn over the
+    old catalog — a uniform-over-fewer-items distribution for those rows,
+    same as if training had simply happened earlier).
+    """
+    if store.metadata.num_features > 0:
+        raise ValueError(
+            "extend_store: stores with metadata features cannot be extended "
+            "in place (the item-metadata table would need rebuilding); "
+            "rebuild with prepare_data over the full dataset instead"
+        )
+    if hasattr(dataset, "columns") and hasattr(dataset, "__getitem__"):
+        columns = {c: np.asarray(dataset[c]) for c in dataset.columns}
+    elif isinstance(dataset, dict):
+        columns = {
+            k: np.asarray(v, dtype=object) if not isinstance(v, np.ndarray) else v
+            for k, v in dataset.items()
+        }
+    else:
+        raise TypeError(f"unsupported dataset type {type(dataset)!r}")
+    users_raw = columns[user_id_col]
+    items_raw = columns[item_id_col]
+    if len(users_raw) != len(items_raw):
+        raise ValueError("user and item columns differ in length")
+
+    users = store.user_encoder.encode(list(users_raw))
+    items = store.item_encoder.encode(list(items_raw))
+    num_users = store.user_encoder.vocab_size
+    num_items = store.item_encoder.vocab_size
+
+    n = len(users)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_train = int(round(n * split_ratio))
+    tr, te = perm[:n_train], perm[n_train:]
+
+    def cat(a, b):
+        return np.concatenate([a, b]) if len(b) else a.copy()
+
+    train_neg = test_neg = None
+    if store.train_neg_items is not None and not dynamic_neg_sampling:
+        train_neg = cat(
+            store.train_neg_items, sample_negatives_np(rng, items[tr], num_items)
+        )
+        test_neg = cat(
+            store.test_neg_items, sample_negatives_np(rng, items[te], num_items)
+        )
+
+    schema = DataSchema(
+        num_users=num_users,
+        num_items=num_items,
+        metadata_names=store.schema.metadata_names,
+        metadata_vocab_sizes=store.schema.metadata_vocab_sizes,
+        metadata_width=store.schema.metadata_width,
+    )
+    return InteractionStore(
+        schema=schema,
+        user_encoder=store.user_encoder,
+        item_encoder=store.item_encoder,
+        metadata=MetadataTable.empty(num_items),
+        train_users=cat(store.train_users, users[tr]),
+        train_items=cat(store.train_items, items[tr]),
+        test_users=cat(store.test_users, users[te]),
+        test_items=cat(store.test_items, items[te]),
+        train_neg_items=train_neg,
+        test_neg_items=test_neg,
+    )

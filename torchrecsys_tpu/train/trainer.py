@@ -57,6 +57,54 @@ def _null_ctx():
     return contextlib.nullcontext()
 
 
+def grow_state(
+    state: TrainState,
+    new_model: RecModel,
+    key: jax.Array,
+) -> TrainState:
+    """Grow a train state to a larger vocabulary (incremental training).
+
+    Every embedding table (and its rowwise-adagrad accumulator) keeps its
+    trained leading rows bit-for-bit; rows added by vocab growth get the
+    model's fresh initialization (N(0, 1/dim) / zeros — models/base.py:
+    init_table) and zero accumulators. Dense parameters, their optimizer
+    state, BN statistics, the step counter and the rng carry over unchanged
+    (vocab growth never changes dense shapes — tower widths depend on
+    n_factors and feature COUNT, not vocab sizes). Same-size tables (growth
+    absorbed by ROW_ALIGN padding) are kept as-is.
+    """
+    fresh_params, _ = new_model.init(key)
+    new_tables = {}
+    for name, fresh in fresh_params["tables"].items():
+        old = state["tables"].get(name)
+        if old is None:
+            new_tables[name] = fresh
+        elif old.shape == fresh.shape:
+            new_tables[name] = old
+        else:
+            new_tables[name] = fresh.at[: old.shape[0]].set(old)
+    new_emb_opt = {}
+    for name, fresh in new_tables.items():
+        old_opt = state["emb_opt"].get(name)
+        if old_opt is None or "acc" not in old_opt:
+            new_emb_opt[name] = dict(old_opt or {})
+            continue
+        acc_old = old_opt["acc"]
+        if acc_old.shape[0] == fresh.shape[0]:
+            new_emb_opt[name] = {"acc": acc_old}
+        else:
+            new_emb_opt[name] = {
+                "acc": jnp.zeros((fresh.shape[0],), acc_old.dtype)
+                .at[: acc_old.shape[0]]
+                .set(acc_old)
+            }
+    return dict(
+        state,
+        tables=new_tables,
+        emb_opt=new_emb_opt,
+    )
+
+
 class Trainer:
     """Owns the jitted step/epoch functions for one model + config."""
 
