@@ -296,3 +296,30 @@ class TestShardedCatalogTopk:
             store.test_items, store.schema.num_items, mesh=mesh, **kw,
         )
         assert m0 == m1
+
+
+@pytest.mark.parametrize("net_type", ["lstm", "sasrec"])
+@pytest.mark.parametrize("axes", [(4, 2), (1, 8)], ids=lambda x: str(x))
+def test_sequence_models_sharded_epoch_matches_single_device(store, net_type, axes):
+    """Sequence models (history gathers, attention/LSTM dense towers,
+    positional tables) train identically on a mesh — full jitted epochs."""
+    def run(mesh):
+        model = build_model(
+            store.schema,
+            ModelConfig(net_type=net_type, n_factors=8, history_len=5),
+        )
+        cfg = TrainConfig(batch_size=256, dynamic_neg_sampling=True,
+                          learning_rate=0.05, seed=5)
+        tr = Trainer(model, cfg, mesh=mesh)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, losses = tr.fit(state, store, epochs=2, verbose=False)
+        return state, losses
+
+    s_ref, l_ref = run(None)
+    s_sh, l_sh = run(make_mesh(data=axes[0], model=axes[1]))
+    np.testing.assert_allclose(l_sh, l_ref, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_sh["tables"]["item"]),
+        np.asarray(s_ref["tables"]["item"]),
+        atol=2e-5,
+    )
