@@ -402,11 +402,37 @@ class TestIncrementalTraining:
         assert np.isfinite(losses).all()
         assert rs.predict(user_id=1000, top_k=4).shape == (4,)
 
-    def test_metadata_store_refuses(self):
+    def test_metadata_store_extends(self):
+        """New items bring their side features; unseen category ids grow the
+        metadata vocabularies; existing items keep their metadata."""
         rs = RecSys(quickstart_data(metadata=True), n_factors=8,
                     metadata_id_col=["category_ids"])
         rs.fit(epochs=1, batch_size=128, verbose=False)
-        with pytest.raises(ValueError, match="metadata"):
+        old_vocab = rs.store.schema.metadata_vocab_sizes[0]
+        old_row0 = rs.store.metadata.ids[0].copy()
+        new = {
+            "user_id": np.asarray([3, 4, 5, 6]),
+            "item_id": np.asarray([900, 900, 901, 0]),
+            "category_ids": np.asarray(
+                [[50, 51], [50, 51], [52], [99, 98]], dtype=object
+            ),
+        }
+        rs.update_data(new)
+        s = rs.store.schema
+        assert s.metadata_vocab_sizes[0] > old_vocab  # new categories
+        np.testing.assert_array_equal(rs.store.metadata.ids[0], old_row0)
+        # new item rows have valid metadata
+        row = rs.store.item_encoder.encode_one(900)
+        assert rs.store.metadata.mask[row, 0].sum() == 2
+        losses = rs.fit(epochs=1, batch_size=128, verbose=False)
+        assert np.isfinite(losses).all()
+        assert rs.predict(user_id=3, top_k=5).shape == (5,)
+
+    def test_metadata_store_missing_column_raises(self):
+        rs = RecSys(quickstart_data(metadata=True), n_factors=8,
+                    metadata_id_col=["category_ids"])
+        rs.fit(epochs=1, batch_size=128, verbose=False)
+        with pytest.raises(ValueError, match="missing metadata column"):
             rs.update_data({"user_id": np.asarray([1]),
                             "item_id": np.asarray([1])})
 

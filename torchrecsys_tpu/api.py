@@ -447,9 +447,11 @@ class RecSys:
         fresh initialization (train/trainer.py:grow_state). Continue with
         ``fit()`` — or use :meth:`partial_fit` for the one-call form.
 
-        Boundaries: metadata-bearing stores cannot be extended in place
-        (clear error — rebuild instead), and a cold-loaded model's frozen
-        encoders accept new interactions of KNOWN users/items only.
+        Metadata-bearing datasets extend too (the new data must carry the
+        same metadata columns; new items' side features parse from their
+        first occurrence, unseen category ids grow the metadata
+        vocabularies). A cold-loaded model's frozen encoders accept new
+        interactions of KNOWN users/items only.
         """
         from torchrecsys_tpu.data.interactions import extend_store
 

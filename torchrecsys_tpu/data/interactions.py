@@ -277,22 +277,18 @@ def extend_store(
       to the existing splits;
     - the schema's vocab sizes grow to the extended encoders'.
 
-    Boundaries, stated plainly: metadata-bearing stores cannot be extended
-    yet (growing the item-metadata table and its vocabularies is a rebuild —
-    raise rather than silently desync), and a cold-loaded store's frozen
-    encoders refuse unseen ids (KeyError from IdEncoder).
+    Metadata-bearing stores extend too: the new dataset must carry the same
+    metadata columns; NEW items parse their side features from their first
+    occurrence (existing items keep theirs — side features are static),
+    and unseen category ids grow the per-feature vocabularies
+    (MetadataTable.extend). A cold-loaded store's frozen encoders refuse
+    unseen ids (KeyError from IdEncoder).
 
     Static-negative mode samples the NEW rows' negatives over the GROWN
     catalog; existing rows keep their original negatives (drawn over the
     old catalog — a uniform-over-fewer-items distribution for those rows,
     same as if training had simply happened earlier).
     """
-    if store.metadata.num_features > 0:
-        raise ValueError(
-            "extend_store: stores with metadata features cannot be extended "
-            "in place (the item-metadata table would need rebuilding); "
-            "rebuild with prepare_data over the full dataset instead"
-        )
     if hasattr(dataset, "columns") and hasattr(dataset, "__getitem__"):
         columns = {c: np.asarray(dataset[c]) for c in dataset.columns}
     elif isinstance(dataset, dict):
@@ -307,10 +303,25 @@ def extend_store(
     if len(users_raw) != len(items_raw):
         raise ValueError("user and item columns differ in length")
 
+    meta_names = store.metadata.names
+    missing = [c for c in meta_names if c not in columns]
+    if missing:
+        raise ValueError(
+            f"extend_store: new dataset is missing metadata column(s) "
+            f"{missing} required by the store's schema"
+        )
+
     users = store.user_encoder.encode(list(users_raw))
     items = store.item_encoder.encode(list(items_raw))
     num_users = store.user_encoder.vocab_size
     num_items = store.item_encoder.vocab_size
+
+    if meta_names:
+        metadata = store.metadata.extend(
+            items, num_items, {c: columns[c] for c in meta_names}
+        )
+    else:
+        metadata = MetadataTable.empty(num_items)
 
     n = len(users)
     rng = np.random.default_rng(seed)
@@ -333,15 +344,15 @@ def extend_store(
     schema = DataSchema(
         num_users=num_users,
         num_items=num_items,
-        metadata_names=store.schema.metadata_names,
-        metadata_vocab_sizes=store.schema.metadata_vocab_sizes,
-        metadata_width=store.schema.metadata_width,
+        metadata_names=metadata.names,
+        metadata_vocab_sizes=metadata.vocab_sizes,
+        metadata_width=metadata.width,
     )
     return InteractionStore(
         schema=schema,
         user_encoder=store.user_encoder,
         item_encoder=store.item_encoder,
-        metadata=MetadataTable.empty(num_items),
+        metadata=metadata,
         train_users=cat(store.train_users, users[tr]),
         train_items=cat(store.train_items, items[tr]),
         test_users=cat(store.test_users, users[te]),

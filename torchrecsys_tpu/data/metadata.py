@@ -192,6 +192,47 @@ class MetadataTable:
         """(B,) item rows -> ((B, F, W) ids, (B, F, W) mask)."""
         return self.ids[item_batch], self.mask[item_batch]
 
+    def extend(
+        self,
+        item_rows: np.ndarray,  # (N,) encoded item rows of the NEW interactions
+        num_items_new: int,
+        columns: Dict[str, Sequence[Any]],  # name -> N interaction-aligned cells
+    ) -> "MetadataTable":
+        """Grow the table to ``num_items_new`` rows (incremental training).
+
+        Rows for items the table already knows keep their existing metadata
+        untouched (items have static side features — first occurrence
+        defines them, same as :meth:`build`); rows for NEW items parse from
+        their first occurrence in the new interactions, encoding through
+        the EXISTING per-feature encoders, which extend in place for unseen
+        category ids (new contiguous vocab rows — trained metadata
+        embedding rows keep their indices). Lists longer than the fixed
+        width clip, exactly like a ``width=``-constrained build.
+        """
+        if set(columns.keys()) != set(self.names):
+            raise ValueError(
+                f"metadata columns {sorted(columns)} do not match the "
+                f"store's features {sorted(self.names)}"
+            )
+        old_n = self.num_items
+        f_n, w = self.num_features, self.width
+        ids = np.zeros((num_items_new, f_n, w), dtype=np.int32)
+        mask = np.zeros((num_items_new, f_n, w), dtype=bool)
+        ids[:old_n] = self.ids
+        mask[:old_n] = self.mask
+        uniq_items, first_idx = np.unique(item_rows, return_index=True)
+        new_sel = uniq_items >= old_n
+        uniq_new, first_new = uniq_items[new_sel], first_idx[new_sel]
+        for f, name in enumerate(self.names):
+            cells = _select_cells(columns[name], first_new)
+            lists, _ = parse_metadata_column(list(cells), encoder=self.encoders[f])
+            for it, lst in zip(uniq_new, lists):
+                k = min(len(lst), w)
+                if k:
+                    ids[it, f, :k] = lst[:k]
+                    mask[it, f, :k] = True
+        return MetadataTable(ids, mask, self.names, self.encoders)
+
     @classmethod
     def empty(cls, num_items: int) -> "MetadataTable":
         return cls(
