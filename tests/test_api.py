@@ -479,3 +479,43 @@ def test_incremental_training_on_mesh():
     l1, p1 = run(make_mesh(data=4, model=2))
     np.testing.assert_allclose(l1, l0, rtol=2e-4, atol=1e-6)
     np.testing.assert_array_equal(p1, p0)
+
+
+def test_cold_load_then_update_data_continues_training(tmp_path):
+    """Checkpoint -> fresh-process load -> update_data with NEW users/items
+    -> fit: the frozen encoders thaw for the extension, and a sequence
+    model's checkpointed histories merge with the new interactions."""
+    data = quickstart_data()
+    rs = RecSys(data, n_factors=8, net_type="lstm", history_len=5)
+    rs.fit(epochs=1, batch_size=128, verbose=False)
+    d = str(tmp_path / "ck")
+    rs.save(d)
+
+    cold = RecSys.load(d)
+    u_known = int(data["user_id"][0])
+    row_known = cold.store.user_encoder.encode_one(u_known)
+    hist_before = cold.store.user_history(5)[0][row_known].copy()
+    new = {
+        "user_id": np.asarray([u_known, u_known, 7777, 7777]),
+        "item_id": np.asarray([5, 6, 5, 6]),
+    }
+    cold.update_data(new)
+    # vocab grew despite the frozen checkpoint encoders
+    assert 7777 in cold.store.user_encoder
+    assert cold.store.user_encoder.frozen  # re-frozen after
+    # the known user's history window now contains their new TRAIN items
+    # (the split may route some new rows to test), newest at the end
+    h_ids, h_mask = cold.store.user_history(5)
+    got = h_ids[row_known][h_mask[row_known]]
+    new_train_items = cold.store.train_items[
+        cold.store.train_users == row_known
+    ]
+    assert len(new_train_items) > 0
+    assert set(new_train_items.tolist()) <= set(got.tolist())
+    np.testing.assert_array_equal(got[-len(new_train_items):],
+                                  new_train_items)
+    # and it grew (old window content shifted in, not wiped)
+    assert len(got) > len(new_train_items) or len(hist_before) == 0
+    losses = cold.fit(epochs=1, batch_size=64, verbose=False)
+    assert np.isfinite(losses).all()
+    assert cold.predict(user_id=7777, top_k=4).shape == (4,)

@@ -450,22 +450,35 @@ class RecSys:
         Metadata-bearing datasets extend too (the new data must carry the
         same metadata columns; new items' side features parse from their
         first occurrence, unseen category ids grow the metadata
-        vocabularies). A cold-loaded model's frozen encoders accept new
-        interactions of KNOWN users/items only.
+        vocabularies). Cold-loaded models (``RecSys.load``) continue
+        training as well: their frozen encoders thaw for the duration of
+        the extension (calling update_data IS the explicit opt-in to vocab
+        growth) and re-freeze after, and sequence models' checkpointed
+        histories merge with the new interactions (each updated user's new
+        items push into their window).
         """
         from torchrecsys_tpu.data.interactions import extend_store
 
-        self.store = extend_store(
-            self.store,
-            dataset,
-            user_id_col or self._user_col,
-            item_id_col or self._item_col,
-            split_ratio=split_ratio
-            if split_ratio is not None
-            else self._split_ratio,
-            dynamic_neg_sampling=self.dynamic_neg_sampling,
-            seed=self.seed + 43,
-        )
+        encoders = [self.store.user_encoder, self.store.item_encoder,
+                    *self.store.metadata.encoders]
+        thawed = [e for e in encoders if e.frozen]
+        for e in thawed:
+            e.thaw()
+        try:
+            self.store = extend_store(
+                self.store,
+                dataset,
+                user_id_col or self._user_col,
+                item_id_col or self._item_col,
+                split_ratio=split_ratio
+                if split_ratio is not None
+                else self._split_ratio,
+                dynamic_neg_sampling=self.dynamic_neg_sampling,
+                seed=self.seed + 43,
+            )
+        finally:
+            for e in thawed:
+                e.freeze()
         if self.ease is not None:
             from torchrecsys_tpu.models.ease import EASE
 

@@ -34,6 +34,17 @@ class IdEncoder:
         self._frozen = True
         return self
 
+    @property
+    def frozen(self) -> bool:
+        return self._frozen
+
+    def thaw(self) -> "IdEncoder":
+        """Re-allow vocab growth (incremental training on a cold-loaded
+        store — ``RecSys.update_data`` thaws around the extension and
+        re-freezes after)."""
+        self._frozen = False
+        return self
+
     def fit(self, values: Iterable[Any]) -> "IdEncoder":
         for v in values:
             if v not in self._to_index:

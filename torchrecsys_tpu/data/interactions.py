@@ -332,6 +332,29 @@ def extend_store(
     def cat(a, b):
         return np.concatenate([a, b]) if len(b) else a.copy()
 
+    # A checkpointed history window (cold-loaded store) merges with the new
+    # train rows: each updated user's new items push into their window from
+    # the right, keeping the last L. The warm path recomputes histories from
+    # the full concatenated split instead (user_history), so no override.
+    hist = None
+    if store.history_override is not None:
+        o_ids, o_mask = store.history_override
+        length = o_ids.shape[1]
+        h_ids = np.zeros((num_users, length), np.int32)
+        h_mask = np.zeros((num_users, length), bool)
+        h_ids[: o_ids.shape[0]] = o_ids
+        h_mask[: o_mask.shape[0]] = o_mask
+        tr_u, tr_i = users[tr], items[tr]
+        for u in np.unique(tr_u):
+            combined = np.concatenate(
+                [h_ids[u][h_mask[u]], tr_i[tr_u == u]]
+            )[-length:]
+            h_ids[u] = 0
+            h_mask[u] = False
+            h_ids[u, : len(combined)] = combined
+            h_mask[u, : len(combined)] = True
+        hist = (h_ids, h_mask)
+
     train_neg = test_neg = None
     if store.train_neg_items is not None and not dynamic_neg_sampling:
         train_neg = cat(
@@ -359,4 +382,5 @@ def extend_store(
         test_items=cat(store.test_items, items[te]),
         train_neg_items=train_neg,
         test_neg_items=test_neg,
+        history_override=hist,
     )
