@@ -197,7 +197,8 @@ def bench_linear_pallas_vs_xla(store) -> None:
 def bench_predict_qps(n_users: int, n_items: int, batch_users: int, name: str,
                       vs_baseline_scale: float, net_type: str = "linear",
                       mesh=None, emit_result: bool = True,
-                      compute_dtype: str = "float32") -> float:
+                      compute_dtype: str = "float32",
+                      approx_recall=None) -> float:
     from torchrecsys_tpu.config import DataSchema, ModelConfig
     from torchrecsys_tpu.eval.predict import catalog_topk
     from torchrecsys_tpu.models import build_model
@@ -222,7 +223,8 @@ def bench_predict_qps(n_users: int, n_items: int, batch_users: int, name: str,
 
     def run():
         return catalog_topk(
-            model, params, state, user_ids, n_items, feat, top_k=10, mesh=mesh
+            model, params, state, user_ids, n_items, feat, top_k=10,
+            mesh=mesh, approx_recall=approx_recall,
         )
 
     scores, _ = run()
@@ -291,6 +293,10 @@ def main() -> None:
     # score accumulation) — vs_baseline = ratio to the f32 run above
     bench_predict_qps(100_000, 1_000_000, 256, "predict_qps_linear_1m_amp",
                       qps_1m, compute_dtype="bfloat16")
+    # hardware approximate top-k (lax.approx_max_k, recall_target 0.95 —
+    # measured recall 0.98 at this shape); vs_baseline = speedup over exact
+    bench_predict_qps(100_000, 1_000_000, 256, "predict_qps_linear_1m_approx",
+                      qps_1m, approx_recall=0.95)
     bench_predict_qps(100_000, 100_000, 256, "predict_qps_lstm_100k",
                       BASELINE_PREDICT_QPS_1K, net_type="lstm")
 

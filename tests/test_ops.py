@@ -184,3 +184,30 @@ def test_amp_linear_fused_predict_matches_chunked():
     np.testing.assert_allclose(
         np.asarray(fs), np.asarray(gs), rtol=2e-2, atol=2e-2
     )
+
+
+def test_dot_topk_approx_cpu_is_exact():
+    """approx_max_k degenerates to exact top-k off-TPU, so the approx path
+    must equal the exact path bit-for-bit here (the hardware speed/recall
+    tradeoff is measured on TPU — PROFILE.md round-4)."""
+    from torchrecsys_tpu.ops.dot_topk import dot_topk_approx
+
+    uv, iv, ib = _rand(5, 800, 16, seed=7)
+    rv, ri = dot_topk_xla(uv, iv, ib, 10)
+    av, ai = dot_topk_approx(uv, iv, ib, 10, recall_target=0.95)
+    np.testing.assert_array_equal(np.asarray(ai), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(rv), rtol=1e-6)
+
+
+def test_catalog_topk_approx_through_dispatch():
+    from torchrecsys_tpu.eval.predict import catalog_topk
+
+    schema = DataSchema(num_users=30, num_items=50)
+    model = build_model(schema, ModelConfig(net_type="linear", n_factors=8))
+    params, state = model.init(jax.random.PRNGKey(0))
+    users = jnp.arange(6, dtype=jnp.int32)
+    s0, i0 = catalog_topk(model, params, state, users, 50, top_k=5)
+    s1, i1 = catalog_topk(
+        model, params, state, users, 50, top_k=5, approx_recall=0.95
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))  # exact on CPU

@@ -286,12 +286,18 @@ class RecSys:
         prediction_batch_size: int = 4096,
         return_raw_ids: bool = True,
         exclude_seen: bool = False,
+        approx_recall: Optional[float] = None,
     ) -> np.ndarray:
         """Full-catalog top-k for one user or a batch of users.
 
         Reference: model.py:341-452 (single user, pandas per chunk, full
         sort). Here: any number of users, device-side chunked score +
         running top-k merge, raw-id decoding on the way out.
+
+        ``approx_recall`` (e.g. 0.95; factorizable models on TPU) switches
+        to the hardware approximate top-k — measured 3.3x the exact path at
+        a 1M-item catalog, trading a bounded recall loss
+        (ops/dot_topk.py:dot_topk_approx).
 
         ``exclude_seen=True`` drops each user's train-split items from
         their results (the reference offers this only on the unwired EASE,
@@ -341,6 +347,7 @@ class RecSys:
                 top_k=k_fetch,
                 chunk_size=prediction_batch_size,
                 mesh=self.mesh,
+                approx_recall=approx_recall,
             )
             ids = np.asarray(ids)
         if seen is not None:

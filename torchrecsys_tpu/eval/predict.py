@@ -103,7 +103,9 @@ def full_catalog_topk(
     return scores, ids
 
 
-@partial(jax.jit, static_argnames=("model", "num_items", "top_k"))
+@partial(
+    jax.jit, static_argnames=("model", "num_items", "top_k", "approx_recall")
+)
 def _fused_catalog_topk(
     model: RecModel,
     params: Params,
@@ -111,18 +113,25 @@ def _fused_catalog_topk(
     num_items: int,
     feat: Optional[Features],
     top_k: int,
+    approx_recall: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     from torchrecsys_tpu.ops.dot_topk import dot_topk
 
     lin = model.linearized_catalog(params, feat)
     item_vecs, item_bias, user_fn, transform = lin
     user_vecs, user_const = user_fn(params, user_ids)
-    raw, ids = dot_topk(user_vecs, item_vecs, item_bias, min(top_k, num_items))
+    raw, ids = dot_topk(
+        user_vecs, item_vecs, item_bias, min(top_k, num_items),
+        approx_recall=approx_recall,
+    )
     return transform(raw, user_const), ids
 
 
 @partial(
-    jax.jit, static_argnames=("model", "num_items", "top_k", "mesh", "axis")
+    jax.jit,
+    static_argnames=(
+        "model", "num_items", "top_k", "mesh", "axis", "approx_recall"
+    ),
 )
 def _sharded_catalog_topk(
     model: RecModel,
@@ -133,6 +142,7 @@ def _sharded_catalog_topk(
     top_k: int,
     mesh: jax.sharding.Mesh,
     axis: str = "model",
+    approx_recall: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Model-axis-sharded full-catalog score + top-k (SURVEY §7 hard part (c)).
 
@@ -174,7 +184,9 @@ def _sharded_catalog_topk(
 
     def block(uv, iv_shard, ib_shard):
         start = jax.lax.axis_index(axis) * iv_shard.shape[0]
-        vals, ids = dot_topk(uv, iv_shard, ib_shard, k_local)
+        vals, ids = dot_topk(
+            uv, iv_shard, ib_shard, k_local, approx_recall=approx_recall
+        )
         return vals, ids + start
 
     # Per-shard (U, k_local) winners come back concatenated over the column
@@ -208,6 +220,7 @@ def catalog_topk(
     chunk_size: int = 4096,
     use_fused: bool = True,
     mesh: Optional[jax.sharding.Mesh] = None,
+    approx_recall: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-catalog top-k with automatic kernel dispatch.
 
@@ -216,13 +229,22 @@ def catalog_topk(
     (:func:`_sharded_catalog_topk`), single-device otherwise. Everything
     else takes the generic chunked scorer; under a mesh its user batch is
     sharded over the ``data`` axis (tables stay wherever the mesh put them —
-    GSPMD inserts the gathers)."""
+    GSPMD inserts the gathers).
+
+    ``approx_recall`` (linearizable models only) switches the scorer to the
+    TPU's hardware approximate top-k (ops/dot_topk.py:dot_topk_approx) —
+    measured 3.3x the exact kernel at 1M items for a bounded recall loss.
+    """
     if use_fused and model.supports_linearized_catalog:
         if mesh is not None:
             return _sharded_catalog_topk(
-                model, params, user_ids, num_items, feat, top_k, mesh
+                model, params, user_ids, num_items, feat, top_k, mesh,
+                approx_recall=approx_recall,
             )
-        return _fused_catalog_topk(model, params, user_ids, num_items, feat, top_k)
+        return _fused_catalog_topk(
+            model, params, user_ids, num_items, feat, top_k,
+            approx_recall=approx_recall,
+        )
     if mesh is not None and mesh.shape.get("data", 1) > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
