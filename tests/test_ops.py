@@ -211,3 +211,22 @@ def test_catalog_topk_approx_through_dispatch():
         model, params, state, users, 50, top_k=5, approx_recall=0.95
     )
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))  # exact on CPU
+
+
+def test_dot_topk_approx_user_chunking():
+    """The approx path processes large user batches in chunks to bound the
+    live (U_chunk, N) score block; correctness rests on slicing commuting
+    with the per-row op — asserted here — and the loop itself engages when
+    U exceeds the ~2 GB budget (n >= 2e9/4 rows would be needed to force it
+    at test scale, so the slice-equivalence property is the testable part).
+    """
+    from torchrecsys_tpu.ops.dot_topk import dot_topk_approx
+
+    uv, iv, ib = _rand(40, 300, 8, seed=9)
+    v0, i0 = dot_topk_approx(uv, iv, ib, 6)
+    for s in range(0, 40, 8):
+        v, i = dot_topk_approx(uv[s : s + 8], iv, ib, 6)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i0)[s : s + 8])
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(v0)[s : s + 8], rtol=1e-6
+        )

@@ -273,21 +273,36 @@ def dot_topk_approx(
     (recall_target 0.95) / 0.994 (0.99). The returned scores are the true
     scores of the selected items, sorted descending; "approximate" means
     a few true top-k members may be missed, per ``recall_target``. The
-    score matrix does materialize in HBM here (the op is bandwidth-bound:
-    U*N*4 bytes — keep serving batches <= ~1-2K users at 1M items); on
-    non-TPU backends approx_max_k degenerates to exact top-k.
+    score matrix materializes in HBM (the op is bandwidth-bound: U*N*4
+    bytes per chunk), so large user batches are processed in chunks that
+    cap the live score block at ~2 GB; on non-TPU backends approx_max_k
+    degenerates to exact top-k.
     """
-    k = min(k, item_vecs.shape[0])
+    n = item_vecs.shape[0]
+    u = user_vecs.shape[0]
+    k = min(k, n)
     vdt = jnp.promote_types(user_vecs.dtype, item_vecs.dtype)
     if vdt not in (jnp.float32, jnp.bfloat16):
         vdt = jnp.float32
-    scores = jax.lax.dot_general(
-        user_vecs.astype(vdt),
-        item_vecs.astype(vdt),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + item_bias.astype(jnp.float32)[None, :]
-    return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+
+    def run(uv_chunk):
+        scores = jax.lax.dot_general(
+            uv_chunk.astype(vdt),
+            item_vecs.astype(vdt),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + item_bias.astype(jnp.float32)[None, :]
+        return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+
+    u_chunk = max(8, int(2e9 / (n * 4)))
+    if u <= u_chunk:
+        return run(user_vecs)
+    vals, ids = [], []
+    for s in range(0, u, u_chunk):
+        v, i = run(user_vecs[s : s + u_chunk])
+        vals.append(v)
+        ids.append(i)
+    return jnp.concatenate(vals, axis=0), jnp.concatenate(ids, axis=0)
 
 
 def dot_topk(
