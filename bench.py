@@ -31,9 +31,10 @@ Metrics, in print order:
    sharded catalog scorer (eval/predict.py:_sharded_catalog_topk) on a
    trivial (1,1) mesh: proves the sharded serving path costs ~nothing on
    one chip (``vs_baseline`` = ratio to the unsharded #6 run).
-8. ``predict_qps_lstm_100k`` — LSTM full-catalog predict at a 100K catalog
-   via the encode-once linearized path (VERDICT r3 weak #2: the generic
-   path was O(U*N*L)); ``vs_baseline`` extrapolates against 770 q/s.
+8. ``predict_qps_lstm_100k`` / ``predict_qps_sasrec_100k`` — sequence-model
+   full-catalog predict at a 100K catalog via the encode-once linearized
+   path (VERDICT r3 weak #2: the generic path was O(U*N*L));
+   ``vs_baseline`` extrapolates against 770 q/s.
 9. ``neucf_10m_train_examples_per_sec`` — NeuCF (GMF+MLP dual towers,
    rebuilt working from the reference's broken neu.py) on the same 10M
    workload; ``vs_baseline`` vs the reference MLP's ~38K ex/s (its NeuCF
@@ -299,6 +300,8 @@ def main() -> None:
                       qps_1m, approx_recall=0.95)
     bench_predict_qps(100_000, 100_000, 256, "predict_qps_lstm_100k",
                       BASELINE_PREDICT_QPS_1K, net_type="lstm")
+    bench_predict_qps(100_000, 100_000, 256, "predict_qps_sasrec_100k",
+                      BASELINE_PREDICT_QPS_1K, net_type="sasrec")
 
 
 if __name__ == "__main__":
