@@ -19,7 +19,6 @@ torchrecsys_tpu/parallel/.
 from __future__ import annotations
 
 import contextlib
-import functools
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
