@@ -44,7 +44,12 @@ State = Dict[str, Any]  # mutable collections (e.g. batch-norm stats)
 class TableSpec:
     rows: int
     dim: int
-    init: str = "scaled"  # "scaled" = N(0, 1/dim) | "zero"
+    init: str = "scaled"  # "scaled" = N(0, init_scale or 1/dim) | "zero"
+    # Override the scaled-init std — used when one physical table packs
+    # multiple logical embeddings side by side (e.g. NeuCF's fused
+    # (R, 2*n_factors) tables must init each half like an independent
+    # n_factors-wide ScaledEmbedding, std 1/n_factors not 1/(2*n_factors))
+    init_scale: Optional[float] = None
 
 
 # Embedding-table rows are padded to a multiple of this so tables (and their
@@ -63,7 +68,8 @@ def init_table(key: jax.Array, spec: TableSpec, dtype: jnp.dtype) -> jnp.ndarray
     if spec.init == "zero":
         return jnp.zeros((rows, spec.dim), dtype=dtype)
     # ScaledEmbedding: normal_(0, 1/embedding_dim) — init_embeddings.py:43-50
-    return (jax.random.normal(key, (rows, spec.dim)) / spec.dim).astype(dtype)
+    scale = spec.init_scale if spec.init_scale is not None else 1.0 / spec.dim
+    return (jax.random.normal(key, (rows, spec.dim)) * scale).astype(dtype)
 
 
 def masked_sum(emb: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
