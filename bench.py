@@ -298,9 +298,12 @@ def main() -> None:
     # measured recall 0.98 at this shape); vs_baseline = speedup over exact
     bench_predict_qps(100_000, 1_000_000, 256, "predict_qps_linear_1m_approx",
                       qps_1m, approx_recall=0.95)
-    bench_predict_qps(100_000, 100_000, 256, "predict_qps_lstm_100k",
+    # 1024-user batches: at a 100K catalog a 256-user call runs ~2-3 ms,
+    # where per-call dispatch over the TPU tunnel dominates run-to-run
+    # variance; 4x the batch amortizes it (QPS is per-user either way)
+    bench_predict_qps(100_000, 100_000, 1024, "predict_qps_lstm_100k",
                       BASELINE_PREDICT_QPS_1K, net_type="lstm")
-    bench_predict_qps(100_000, 100_000, 256, "predict_qps_sasrec_100k",
+    bench_predict_qps(100_000, 100_000, 1024, "predict_qps_sasrec_100k",
                       BASELINE_PREDICT_QPS_1K, net_type="sasrec")
 
 
