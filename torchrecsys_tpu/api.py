@@ -101,6 +101,7 @@ class RecSys:
         self.dynamic_neg_sampling = dynamic_neg_sampling
         self.trainer: Optional[Trainer] = None
         self.state = None
+        self._n_updates = 0  # update_data calls; decorrelates extension seeds
         if debug:
             # Reference: ProcessData.write_data(path) dumps config.json +
             # meta.csv; the call is commented out at model.py:98. Here the
@@ -328,7 +329,10 @@ class RecSys:
                     "this RecSys has none (cold RecSys.load?)"
                 )
             tu, ti = self.store.train_users, self.store.train_items
-            seen = [ti[tu == r] for r in rows]
+            # dedupe: repeat interactions would otherwise inflate k_fetch
+            # past the unique-seen count, pushing the scorer off the fast
+            # Pallas top-k path (k <= 64) for no reason (ADVICE r4)
+            seen = [np.unique(ti[tu == r]) for r in rows]
             k_fetch = min(top_k + max(len(s) for s in seen), num_items)
         if self.ease is not None:
             scores = self.ease.scores(rows)
@@ -481,8 +485,11 @@ class RecSys:
                 if split_ratio is not None
                 else self._split_ratio,
                 dynamic_neg_sampling=self.dynamic_neg_sampling,
-                seed=self.seed + 43,
+                # fold the extension count in so repeated update_data calls
+                # don't reuse one split permutation pattern (ADVICE r4)
+                seed=self.seed + 43 + self._n_updates,
             )
+            self._n_updates += 1
         finally:
             for e in thawed:
                 e.freeze()
@@ -610,6 +617,7 @@ class RecSys:
         self._user_col = "user_id"
         self._item_col = "item_id"
         self._split_ratio = 0.8
+        self._n_updates = 0
         self.store = store
         self.model_cfg = ModelConfig(**aux["model_cfg"])
         self.dynamic_neg_sampling = bool(

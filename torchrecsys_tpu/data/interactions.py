@@ -345,14 +345,26 @@ def extend_store(
         h_ids[: o_ids.shape[0]] = o_ids
         h_mask[: o_mask.shape[0]] = o_mask
         tr_u, tr_i = users[tr], items[tr]
-        for u in np.unique(tr_u):
-            combined = np.concatenate(
-                [h_ids[u][h_mask[u]], tr_i[tr_u == u]]
-            )[-length:]
-            h_ids[u] = 0
-            h_mask[u] = False
-            h_ids[u, : len(combined)] = combined
-            h_mask[u, : len(combined)] = True
+        # Flatten the old windows into (user, item) pairs in stored order
+        # (np.nonzero is row-major: user-major, slot-ascending), append the
+        # new train pairs, and re-window with the same stable-sort
+        # arithmetic as user_history — O((U*L + n_new) log) vectorized
+        # numpy instead of a Python loop over updated users (VERDICT r4).
+        old_u, _ = np.nonzero(h_mask)
+        su = np.concatenate([old_u.astype(np.int64), tr_u])
+        si = np.concatenate([h_ids[h_mask], tr_i])
+        order = np.argsort(su, kind="stable")  # old-before-new per user
+        su, si = su[order], si[order]
+        counts = np.bincount(su, minlength=num_users)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rank = np.arange(len(su)) - starts[su]
+        from_end = counts[su] - rank  # 1 = user's most recent entry
+        keep = from_end <= length
+        col = np.minimum(counts[su], length) - from_end
+        h_ids[:] = 0
+        h_mask[:] = False
+        h_ids[su[keep], col[keep]] = si[keep]
+        h_mask[su[keep], col[keep]] = True
         hist = (h_ids, h_mask)
 
     train_neg = test_neg = None

@@ -245,6 +245,15 @@ def catalog_topk(
             model, params, user_ids, num_items, feat, top_k,
             approx_recall=approx_recall,
         )
+    if approx_recall is not None:
+        # Loud refusal, not a silent exact fallback: approximate serving
+        # exists only on the dot-factorizable scorer (VERDICT r4 weak #1).
+        raise ValueError(
+            f"approx_recall is only supported for models with a dot-product "
+            f"catalog factorization (linearized_catalog); "
+            f"{type(model).__name__} scores the catalog through the generic "
+            f"chunked path, which is always exact — drop approx_recall"
+        )
     if mesh is not None and mesh.shape.get("data", 1) > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -86,6 +86,14 @@ def process_row_range(n_rows: int, dim0_shards: int) -> tuple:
             f"dim-0 shard count {dim0_shards} not divisible by "
             f"{pc} processes"
         )
+    if n_rows % dim0_shards:
+        # fail here, where the cause is nameable — otherwise the orphaned
+        # n_rows % dim0_shards rows surface later as an opaque shape
+        # mismatch inside make_array_from_process_local_data (ADVICE r4)
+        raise ValueError(
+            f"n_rows {n_rows} not divisible by dim-0 shard count "
+            f"{dim0_shards}; pad the array to a multiple first"
+        )
     rows_per_shard = n_rows // dim0_shards
     shards_per_proc = dim0_shards // pc
     start = pid * shards_per_proc * rows_per_shard

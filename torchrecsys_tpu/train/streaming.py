@@ -62,12 +62,17 @@ class SuperBatchStream:
         chunk = {k: v[start:stop] for k, v in self.arrays.items()}
         # device_put with a 'data'-sharded layout requires the chunk length
         # to divide the data axis; the trailing partial chunk (and tiny
-        # datasets) may not — place those replicated and let GSPMD reshard
-        # inside the epoch program (a correctness-neutral perf fallback on
-        # at most one chunk per epoch).
+        # datasets) may not — place those REPLICATED on the same mesh and
+        # let GSPMD reshard inside the epoch program (a correctness-neutral
+        # perf fallback on at most one chunk per epoch). The replicated
+        # placement must still go through put_sharded: a bare device_put
+        # produces process-local arrays that a global jitted epoch cannot
+        # consume on a multi-process mesh (ADVICE r4 medium).
         sharding = self.sharding
         if sharding is not None and (stop - start) % self._dim0_shards(sharding):
-            sharding = None
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(sharding.mesh, PartitionSpec())
         if sharding is not None:
             # multi-process meshes route through make_global_array (each
             # host materializes only its addressable shards); single-process
