@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--users", type=int, default=100_000)
     ap.add_argument("--items", type=int, default=100_000)
     ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--meta", action="store_true",
+                    help="attach a scalar metadata feature (vocab 97)")
+    ap.add_argument("--amp", action="store_true", help="bf16 compute")
     args = ap.parse_args()
 
     from torchrecsys_tpu.config import ModelConfig, TrainConfig
@@ -54,9 +57,21 @@ def main():
     from torchrecsys_tpu.train import Trainer
 
     data = structured_interactions(args.users, args.items, args.n)
-    store = prepare_data(data, "user_id", "item_id", dynamic_neg_sampling=True)
+    meta_cols = None
+    if args.meta:
+        # scalar per-interaction category (item-keyed, parsed once per item)
+        data["cat"] = (data["item_id"] % 97).astype(np.int32)
+        meta_cols = ["cat"]
+    store = prepare_data(
+        data, "user_id", "item_id", metadata_id_col=meta_cols,
+        dynamic_neg_sampling=True,
+    )
     model = build_model(
-        store.schema, ModelConfig(net_type=args.net, n_factors=80)
+        store.schema,
+        ModelConfig(
+            net_type=args.net, n_factors=80,
+            compute_dtype="bfloat16" if args.amp else "float32",
+        ),
     )
     cfg = TrainConfig(
         batch_size=args.batch,
@@ -74,6 +89,8 @@ def main():
 
     print(json.dumps({
         "net": args.net,
+        "meta": args.meta,
+        "amp": args.amp,
         "pallas_examples_per_sec": round(eps_pl, 0),
         "xla_examples_per_sec": round(eps_x, 0),
         "speedup": round(eps_pl / eps_x, 3),

@@ -40,6 +40,14 @@ class FMModel(RecModel):
     # exactly u.i, and the per-side linear terms ride the bias lanes — so FM
     # without metadata shares the Linear kernel (plus the sigmoid chain).
     pairwise_pack = {"user": ("user", "linear_user"), "item": ("item", "linear_item")}
+    # Metadata-bearing fused step: composite rows carry q = i + sum_f c_f in
+    # the vector lanes and the per-item constant + linear metadata terms in
+    # the bias lane (the linearized_catalog identity below), so the kernel's
+    # forward/loss/user-side math applies; item-side gradients differ per
+    # field (g * (sum_v - v_field)) and are formed in XLA from the emitted
+    # g lanes (ops/fused_pairwise.py meta section).
+    pairwise_meta = True
+    pairwise_fm_fields = True
 
     @property
     def pairwise_sigmoid(self) -> bool:

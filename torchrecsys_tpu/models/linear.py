@@ -33,6 +33,12 @@ class LinearModel(RecModel):
     # Fused Pallas train-step layout (ops/fused_pairwise.py): score is
     # <u, i> + b_u + b_i, so the bias tables ride the packed side rows.
     pairwise_pack = {"user": ("user", "user_bias"), "item": ("item", "item_bias")}
+    # Metadata-bearing fused step: metadata folds additively into the item
+    # vector (linear.py:74-75), so composite rows feed the same kernel and
+    # every item-side row's gradient is g*u (ops/fused_pairwise.py meta
+    # section). No FM field math.
+    pairwise_meta = True
+    pairwise_fm_fields = False
 
     @property
     def pairwise_sigmoid(self) -> bool:

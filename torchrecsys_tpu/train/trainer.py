@@ -513,16 +513,28 @@ class Trainer:
 
             d = self.model.cfg.n_factors
             pack = self.model.pairwise_pack
+            # user/item sides take the packed (rows, 128) layout; metadata
+            # tables (when present) stay in the augmented (R, D+1) layout —
+            # the meta step scatters per-occurrence fused-adagrad rows into
+            # them directly (ops/fused_pairwise.py metadata section)
+            aug = augment_tables(state["tables"], state["emb_opt"])
+            packed = fp.pack_tables(aug, pack, d)
+            consumed = {name for names in pack.values() for name in names}
+            packed.update(
+                {k: v for k, v in aug.items() if k not in consumed}
+            )
             state = dict(
                 state,
-                tables=fp.pack_tables(
-                    augment_tables(state["tables"], state["emb_opt"]), pack, d
-                ),
+                tables=packed,
                 emb_opt={name: {} for name in state["emb_opt"]},
             )
             interpret = jax.default_backend() != "tpu"
             cfg = self.cfg
             mesh = self.mesh
+            bf16 = self.model.compute_dtype == jnp.bfloat16
+            meta_names = self.model.schema.metadata_names
+            has_meta = self.model.schema.num_metadata_features > 0
+            is_fm = bool(getattr(self.model, "pairwise_fm_fields", False))
 
             def body_pl(st, batch):
                 batch = self._apply_batch_order(batch)
@@ -538,9 +550,43 @@ class Trainer:
                 kw = dict(
                     d=d, margin=cfg.margin,
                     loss_kind=cfg.loss, sigmoid=self.model.pairwise_sigmoid,
-                    interpret=interpret, user_sorted=user_sorted,
+                    interpret=interpret, user_sorted=user_sorted, bf16=bf16,
                 )
                 lr_t = self._lr_at(st["step"])
+                if has_meta:
+                    mvec = tuple(st["tables"][f"meta_{nm}"] for nm in meta_names)
+                    mlin = (
+                        tuple(
+                            st["tables"][f"linear_meta_{nm}"] for nm in meta_names
+                        )
+                        if is_fm
+                        else None
+                    )
+                    margs = (
+                        st["tables"]["user"], st["tables"]["item"], mvec, mlin,
+                        feat["meta_ids"], feat["meta_mask"],
+                        user, pos, neg, w, lr_t,
+                    )
+                    mkw = dict(kw, fm=is_fm)
+                    if mesh is None:
+                        nu, ni, nmv, nml, loss = fp.fused_pairwise_step_meta(
+                            *margs, **mkw
+                        )
+                    elif mesh.shape.get("model", 1) > 1:
+                        nu, ni, nmv, nml, loss = fp.fused_pairwise_step_meta_tp(
+                            mesh, *margs, **mkw
+                        )
+                    else:
+                        nu, ni, nmv, nml, loss = fp.fused_pairwise_step_meta_dp(
+                            mesh, *margs, **mkw
+                        )
+                    tables = {"user": nu, "item": ni}
+                    for fi, nm in enumerate(meta_names):
+                        tables[f"meta_{nm}"] = nmv[fi]
+                        if is_fm:
+                            tables[f"linear_meta_{nm}"] = nml[fi]
+                    st = dict(st, tables=tables, step=st["step"] + 1)
+                    return st, loss
                 if mesh is None:
                     nu, ni, loss = fp.fused_pairwise_step(
                         st["tables"]["user"], st["tables"]["item"],
@@ -564,9 +610,11 @@ class Trainer:
                 return st, loss
 
             state, losses = jax.lax.scan(body_pl, state, batches)
-            tables, emb_opt = split_augmented(
-                fp.unpack_tables(state["tables"], pack, d)
+            aug_out = fp.unpack_tables(state["tables"], pack, d)
+            aug_out.update(
+                {k: v for k, v in state["tables"].items() if k not in pack}
             )
+            tables, emb_opt = split_augmented(aug_out)
             state = dict(state, tables=tables, emb_opt=emb_opt)
             return state, jnp.mean(losses)
 
