@@ -497,8 +497,15 @@ class RecSys:
             from torchrecsys_tpu.models.ease import EASE
 
             s = self.store.schema
-            # closed form: solve again over the extended interactions
-            self.ease = EASE(s.num_users, s.num_items, lam=self.ease.lam)
+            # closed form: solve again over the extended interactions. The
+            # prior interaction CSR carries over so a COLD-loaded model's
+            # original training data merges with the increment instead of
+            # being dropped (ADVICE r4); on a warm store the carried rows
+            # are a subset of the store's and merging is a no-op (binary X).
+            old = self.ease
+            self.ease = EASE(s.num_users, s.num_items, lam=old.lam)
+            if old.item_idx is not None:
+                self.ease.seed_csr(old.user_ptr, old.item_idx)
             return
         self.model = build_model(self.store.schema, self.model_cfg)
         if self.state is not None:
@@ -531,32 +538,38 @@ class RecSys:
         from torchrecsys_tpu.utils.checkpoint import pack_store_aux, save_checkpoint
 
         self._require_fitted("save()")
+        aux = pack_store_aux(
+            self.store,
+            self.model_cfg,
+            self.trainer.cfg if self.trainer else None,
+        )
         if self.ease is not None:
-            state = {"x": self.ease.x, "b": self.ease.b}
+            # B rides Orbax; the interaction CSR (variable-length, needed to
+            # score users and to merge-under-update_data after a cold load)
+            # rides the aux sidecar
+            state = {"b": self.ease.b}
+            aux["ease_csr"] = {
+                "user_ptr": np.asarray(self.ease.user_ptr),
+                "item_idx": np.asarray(self.ease.item_idx),
+            }
         else:
             state = self.state
-        save_checkpoint(
-            directory,
-            state,
-            self.store.schema,
-            aux=pack_store_aux(
-                self.store,
-                self.model_cfg,
-                self.trainer.cfg if self.trainer else None,
-            ),
-        )
+        save_checkpoint(directory, state, self.store.schema, aux=aux)
 
     def restore(self, directory: str) -> None:
         from torchrecsys_tpu.utils.checkpoint import restore_checkpoint
 
         if self.ease is not None:
+            from torchrecsys_tpu.utils.checkpoint import load_aux
+
             s = self.store.schema
-            target = {
-                "x": jnp.zeros((s.num_users, s.num_items), jnp.float32),
-                "b": jnp.zeros((s.num_items, s.num_items), jnp.float32),
-            }
-            restored = restore_checkpoint(directory, target)
-            self.ease.x, self.ease.b = restored["x"], restored["b"]
+            target = {"b": jnp.zeros((s.num_items, s.num_items), jnp.float32)}
+            self.ease.b = restore_checkpoint(directory, target)["b"]
+            aux = load_aux(directory)
+            if aux and "ease_csr" in aux:
+                self.ease.seed_csr(
+                    aux["ease_csr"]["user_ptr"], aux["ease_csr"]["item_idx"]
+                )
             return
         if self.state is None:
             if self.trainer is None:
