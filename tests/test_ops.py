@@ -230,3 +230,54 @@ def test_dot_topk_approx_user_chunking():
         np.testing.assert_allclose(
             np.asarray(v), np.asarray(v0)[s : s + 8], rtol=1e-6
         )
+
+
+class TestThresholdTopK:
+    """The large-k threshold early-exit kernel (ops/dot_topk.py:
+    dot_topk_pallas_thresh, VERDICT r4 #4) in interpret mode."""
+
+    def _mats(self, u=9, n=500, d=12, seed=0):
+        r = np.random.default_rng(seed)
+        return (
+            jnp.asarray(r.normal(size=(u, d)).astype(np.float32)),
+            jnp.asarray(r.normal(size=(n, d)).astype(np.float32)),
+            jnp.asarray(r.normal(size=(n,)).astype(np.float32)),
+        )
+
+    @pytest.mark.parametrize("k", [20, 70, 130])
+    def test_matches_xla(self, k):
+        from torchrecsys_tpu.ops.dot_topk import dot_topk_pallas_thresh
+
+        uv, iv, ib = self._mats()
+        rv, ri = dot_topk_xla(uv, iv, ib, k)
+        v, i = dot_topk_pallas_thresh(uv, iv, ib, k, interpret=True, n_tile=256)
+        np.testing.assert_array_equal(np.asarray(ri), np.asarray(i))
+        np.testing.assert_allclose(np.asarray(rv), np.asarray(v), rtol=1e-6)
+
+    def test_k_exceeds_catalog_and_padding(self):
+        from torchrecsys_tpu.ops.dot_topk import dot_topk_pallas_thresh
+
+        uv, iv, ib = self._mats(u=3, n=90)
+        v, i = dot_topk_pallas_thresh(uv, iv, ib, 200, interpret=True, n_tile=256)
+        assert v.shape == (3, 90) and i.shape == (3, 90)
+        assert (np.asarray(i) < 90).all()  # padded rows never win
+        rv, ri = dot_topk_xla(uv, iv, ib, 90)
+        np.testing.assert_array_equal(np.asarray(ri), np.asarray(i))
+
+    def test_values_exact_under_ties_and_ordering(self):
+        """With exact ties the kernel may pick different ids at the k-th
+        value than lax.top_k (documented); the VALUES must still be the
+        true top-k multiset and the output ordered (val desc, id asc)."""
+        from torchrecsys_tpu.ops.dot_topk import dot_topk_pallas_thresh
+
+        n, k = 400, 24
+        uv = jnp.ones((4, 1), jnp.float32)
+        iv = jnp.zeros((n, 1), jnp.float32)
+        ib = jnp.asarray((np.arange(n) % 5).astype(np.float32))  # heavy ties
+        rv, _ = dot_topk_xla(uv, iv, ib, k)
+        v, i = dot_topk_pallas_thresh(uv, iv, ib, k, interpret=True, n_tile=128)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(rv), rtol=1e-6)
+        v_np, i_np = np.asarray(v), np.asarray(i)
+        for row in range(4):
+            order = np.lexsort((i_np[row], -v_np[row]))
+            np.testing.assert_array_equal(order, np.arange(k))

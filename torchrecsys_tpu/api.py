@@ -330,8 +330,8 @@ class RecSys:
                 )
             tu, ti = self.store.train_users, self.store.train_items
             # dedupe: repeat interactions would otherwise inflate k_fetch
-            # past the unique-seen count, pushing the scorer off the fast
-            # Pallas top-k path (k <= 64) for no reason (ADVICE r4)
+            # past the unique-seen count, growing the fetched candidate
+            # lists for no reason (ADVICE r4)
             seen = [np.unique(ti[tu == r]) for r in rows]
             k_fetch = min(top_k + max(len(s) for s in seen), num_items)
         if self.ease is not None:

@@ -248,14 +248,179 @@ def dot_topk_xla(
     return jax.lax.top_k(scores, k)
 
 
-# Above this k the unrolled per-slot selection becomes instruction-count
-# bound and XLA's sort-based top_k closes in. Measured on v5e, 1M-item
-# catalog, 256 users, round-4 kernel: pallas/XLA ms-per-batch =
-# 10.3/18.6 at k=10, 13.0/23.7 at k=16, 22.0/36.4 at k=32, 42.8/61.9 at
-# k=64 — pallas 1.45-1.8x faster through k=64. Beyond that the unrolled
-# loop's compile time and VPU instruction count grow linearly while XLA's
-# sort amortizes (k=128 XLA: 108 ms), so larger k falls back.
-_PALLAS_MAX_K = 64
+# Dispatch boundaries, measured on v5e at (256 users, 1M items, D=80),
+# ms/batch (round 5; one queued-drain sync per timing loop):
+#
+#   k        10     32     64     128    256    512
+#   unrolled 10.3   21.8   42.7   (fails to compile)
+#   thresh   12.9   13.3   13.5   13.9   19.5   30.0
+#   XLA      14.5   31.8   57.2   108.6  210.7  418.0
+#
+# The unrolled per-slot kernel wins only at small k (its 8192-item tiles
+# amortize better); the threshold kernel is nearly flat in k — its pop
+# count is k*ln(N/k), not k*N/n_tile — and beats XLA's full sort 2.4-13.9x
+# everywhere above. Beyond 1024 the scratch pool stops paying and XLA
+# takes over.
+_PALLAS_UNROLLED_MAX_K = 16
+_PALLAS_THRESH_MAX_K = 1024
+
+
+def _first_argmin(vals: jnp.ndarray, col: jnp.ndarray):
+    """Column of the FIRST (lowest-index) minimum of each row (the Mosaic
+    argmin tie rule is as unreliable as argmax's — see _first_argmax)."""
+    m = jnp.min(vals, axis=1)
+    big = jnp.int32(np.iinfo(np.int32).max)
+    return jnp.min(jnp.where(vals == m[:, None], col, big), axis=1), m
+
+
+def _dot_topk_threshold_kernel(
+    u_ref,  # (U_T, D) user vectors
+    it_ref,  # (N_T, D) item-tile vectors
+    bias_ref,  # (1, N_T) item-tile bias
+    vals_out,  # (U_T, k) UNSORTED top-k values
+    ids_out,  # (U_T, k) their item ids
+    vals_scr,  # (U_T, k) running candidate values
+    ids_scr,  # (U_T, k)
+    *,
+    k: int,
+    n_tile: int,
+):
+    """Large-k (k > 64) score + top-k: threshold early-exit selection.
+
+    The unrolled per-slot loop costs k full passes over every tile and its
+    Mosaic instruction count grows with k (it stops compiling at k=128).
+    This kernel instead keeps the running top-k as an UNSORTED candidate
+    pool and, per tile, pops candidates only while the tile still contains
+    a score above the pool's minimum (the running k-th value). Processing a
+    randomly-ordered catalog, the expected number of pops over the WHOLE
+    catalog is k*ln(N/k) + k (the classic running-top-k update count), vs
+    the unrolled loop's k*(N/n_tile) — two orders of magnitude fewer passes
+    at (1M items, k=128). Pops for the U_T users in a tile run in parallel
+    (one loop iteration services every user that still improves), so a
+    tile's iteration count is the MAX pops over its users, concentrated in
+    the first tiles while the pool warms up.
+
+    The pool is returned unsorted; the wrapper orders it by (value desc,
+    item id asc). Values are exactly the true top-k scores; when several
+    items TIE exactly at the k-th value, which of them enters the pool may
+    differ from jax.lax.top_k's lowest-index rule (the strict ``>``
+    threshold admits the first-seen maximal candidates) — a measure-zero
+    event for f32 dot scores, documented rather than paid for.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        vals_scr[:] = jnp.full(vals_scr.shape, _NEG_INF, jnp.float32)
+        ids_scr[:] = jnp.zeros(ids_scr.shape, jnp.int32)
+
+    s = jax.lax.dot_general(
+        u_ref[:],
+        it_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + bias_ref[0, :][None, :]
+    u_t = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (u_t, n_tile), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (u_t, k), 1)
+
+    def cond(carry):
+        _, _, _, again = carry
+        return again
+
+    def body(carry):
+        s, vals, ids, _ = carry
+        m = jnp.max(s, axis=1)
+        a = _first_argmax(s, col, m)  # lowest item id among tile maxima
+        slot, tau = _first_argmin(vals, kcol)
+        improve = (m > tau)[:, None]  # (U_T, 1)
+        hit_slot = kcol == slot[:, None]
+        vals = jnp.where(improve & hit_slot, m[:, None], vals)
+        ids = jnp.where(improve & hit_slot, (j * n_tile + a)[:, None], ids)
+        s = jnp.where(improve & (col == a[:, None]), _NEG_INF, s)
+        return s, vals, ids, jnp.any(improve)
+
+    _, vals, ids, _ = jax.lax.while_loop(
+        cond, body, (s, vals_scr[:], ids_scr[:], jnp.bool_(True))
+    )
+    vals_scr[:] = vals
+    ids_scr[:] = ids
+    vals_out[:] = vals
+    ids_out[:] = ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "n_tile", "u_tile"))
+def dot_topk_pallas_thresh(
+    user_vecs: jnp.ndarray,  # (U, D)
+    item_vecs: jnp.ndarray,  # (N, D)
+    item_bias: jnp.ndarray,  # (N,)
+    k: int,
+    interpret: bool = False,
+    n_tile: int = 4096,
+    u_tile: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Threshold-kernel variant of :func:`dot_topk_pallas` for k > 64.
+    Same contract (descending scores, ids; lowest-id tie order in the final
+    ordering) — see the kernel docstring for the k-th-value tie caveat."""
+    u, d = user_vecs.shape
+    n = item_vecs.shape[0]
+    k = min(k, n)
+
+    vdt = jnp.promote_types(user_vecs.dtype, item_vecs.dtype)
+    if vdt not in (jnp.float32, jnp.bfloat16):
+        vdt = jnp.float32
+    row_align = 16 if vdt == jnp.bfloat16 else 8
+
+    u_t = min(_round_up(u, row_align), u_tile)
+    u_pad = _round_up(u, u_t)
+    d_pad = _round_up(d, 128)
+    n_t = min(_round_up(n, 128), n_tile)
+    n_pad = _round_up(n, n_t)
+    k_pad = _round_up(k, 128)  # lane-aligned scratch
+
+    uv = jnp.zeros((u_pad, d_pad), vdt).at[:u, :d].set(user_vecs.astype(vdt))
+    iv = jnp.zeros((n_pad, d_pad), vdt).at[:n, :d].set(item_vecs.astype(vdt))
+    ib = jnp.full((1, n_pad), _NEG_INF, jnp.float32).at[0, :n].set(
+        item_bias.astype(jnp.float32)
+    )
+
+    grid = (u_pad // u_t, n_pad // n_t)
+    kernel = functools.partial(_dot_topk_threshold_kernel, k=k_pad, n_tile=n_t)
+    vals, ids = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((u_t, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_t, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((u_t, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((u_t, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((u_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((u_pad, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((u_t, k_pad), jnp.float32),
+            pltpu.VMEM((u_t, k_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * u_pad * n_pad * d_pad,
+            bytes_accessed=(u_pad * d_pad + n_pad * d_pad) * vdt.itemsize
+            + u_pad * k_pad * 2 * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(uv, iv, ib)
+    # order the unsorted pool: value desc, item id asc (lax.top_k's rule)
+    order = jnp.lexsort((ids[:u], -vals[:u]))[:, :k]
+    return (
+        jnp.take_along_axis(vals[:u], order, axis=1),
+        jnp.take_along_axis(ids[:u], order, axis=1),
+    )
 
 
 def dot_topk_approx(
@@ -320,10 +485,13 @@ def dot_topk(
         return dot_topk_approx(
             user_vecs, item_vecs, item_bias, k, recall_target=approx_recall
         )
-    if jax.default_backend() == "tpu" and k <= _PALLAS_MAX_K:
-        # larger tiles amortize per-grid-step fixed costs, but the VMEM
-        # score block + per-slot loop state cap the tile as k grows
-        # (measured sweep in the dot_topk_pallas docstring)
-        n_tile = 8192 if k <= 16 else 4096
-        return dot_topk_pallas(user_vecs, item_vecs, item_bias, k, n_tile=n_tile)
+    if jax.default_backend() == "tpu" and k <= _PALLAS_UNROLLED_MAX_K:
+        return dot_topk_pallas(user_vecs, item_vecs, item_bias, k, n_tile=8192)
+    if jax.default_backend() == "tpu" and k <= _PALLAS_THRESH_MAX_K:
+        # threshold early-exit kernel (VERDICT r4 #4): nearly flat in k —
+        # 13.5/13.9/19.5/30.0 ms at k=64/128/256/512 vs XLA's full sort at
+        # 57/109/211/418 ms (table above). Note: when several items tie
+        # EXACTLY at the k-th value, which of them is returned may differ
+        # from lax.top_k's lowest-index rule (kernel docstring).
+        return dot_topk_pallas_thresh(user_vecs, item_vecs, item_bias, k)
     return dot_topk_xla(user_vecs, item_vecs, item_bias, k)
