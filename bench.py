@@ -207,7 +207,7 @@ def bench_predict_qps(n_users: int, n_items: int, batch_users: int, name: str,
                       vs_baseline_scale: float, net_type: str = "linear",
                       mesh=None, emit_result: bool = True,
                       compute_dtype: str = "float32",
-                      approx_recall=None) -> float:
+                      approx_recall=None, exclude_seen: bool = False) -> float:
     from torchrecsys_tpu.config import DataSchema, ModelConfig
     from torchrecsys_tpu.eval.predict import catalog_topk
     from torchrecsys_tpu.models import build_model
@@ -219,6 +219,19 @@ def bench_predict_qps(n_users: int, n_items: int, batch_users: int, name: str,
     )
     params, state = model.init(jax.random.PRNGKey(0))
     user_ids = jnp.arange(batch_users, dtype=jnp.int32) % n_users
+    seen_mask = None
+    if exclude_seen:
+        # realistic per-user seen sets (20-500 items, one 5000-item heavy
+        # user) packed into the device-side bitmask (VERDICT r4 #5)
+        from torchrecsys_tpu.ops.dot_topk import pack_seen_mask
+
+        rs = np.random.default_rng(0)
+        seen = [
+            np.unique(rs.integers(0, n_items, int(x)))
+            for x in rs.integers(20, 500, batch_users)
+        ]
+        seen[0] = np.unique(rs.integers(0, n_items, 5000))
+        seen_mask = jnp.asarray(pack_seen_mask(seen, n_items))
     feat = None
     if getattr(model, "needs_history", False):
         r = np.random.default_rng(0)
@@ -233,7 +246,7 @@ def bench_predict_qps(n_users: int, n_items: int, batch_users: int, name: str,
     def run():
         return catalog_topk(
             model, params, state, user_ids, n_items, feat, top_k=10,
-            mesh=mesh, approx_recall=approx_recall,
+            mesh=mesh, approx_recall=approx_recall, seen_mask=seen_mask,
         )
 
     scores, _ = run()
@@ -369,6 +382,11 @@ def main() -> None:
     # measured recall 0.98 at this shape); vs_baseline = speedup over exact
     bench_predict_qps(100_000, 1_000_000, 256, "predict_qps_linear_1m_approx",
                       qps_1m, approx_recall=0.95)
+    # device-side exclude_seen (packed bitmask in the kernel, VERDICT r4
+    # #5); vs_baseline = ratio to the plain 1M run — the target is ~1.0
+    bench_predict_qps(100_000, 1_000_000, 256,
+                      "predict_qps_linear_1m_exclude_seen", qps_1m,
+                      exclude_seen=True)
     # 1024-user batches: at a 100K catalog a 256-user call runs ~2-3 ms,
     # where per-call dispatch over the TPU tunnel dominates run-to-run
     # variance; 4x the batch amortizes it (QPS is per-user either way)

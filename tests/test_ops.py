@@ -281,3 +281,85 @@ class TestThresholdTopK:
         for row in range(4):
             order = np.lexsort((i_np[row], -v_np[row]))
             np.testing.assert_array_equal(order, np.arange(k))
+
+
+class TestSeenMask:
+    """Device-side exclude_seen (VERDICT r4 #5): packed per-user bitmasks
+    expanded inside the scorers."""
+
+    def _setup(self, u=6, n=300, d=8, seed=0):
+        r = np.random.default_rng(seed)
+        uv = jnp.asarray(r.normal(size=(u, d)).astype(np.float32))
+        iv = jnp.asarray(r.normal(size=(n, d)).astype(np.float32))
+        ib = jnp.asarray(r.normal(size=(n,)).astype(np.float32))
+        seen = [np.unique(r.integers(0, n, r.integers(0, 80))) for _ in range(u)]
+        return uv, iv, ib, seen
+
+    def test_pack_and_decode_roundtrip(self):
+        from torchrecsys_tpu.ops.dot_topk import mask_bits_for_items, pack_seen_mask
+
+        uv, iv, ib, seen = self._setup(n=5000)
+        mask = jnp.asarray(pack_seen_mask(seen, 5000))
+        bits = np.asarray(mask_bits_for_items(mask, jnp.arange(5000)))
+        for u, s in enumerate(seen):
+            expect = np.zeros(5000, bool)
+            expect[s] = True
+            np.testing.assert_array_equal(bits[u], expect, err_msg=f"user {u}")
+
+    def _reference(self, uv, iv, ib, seen, k):
+        s = np.asarray(uv) @ np.asarray(iv).T + np.asarray(ib)[None, :]
+        for u, su in enumerate(seen):
+            s[u, su] = -np.inf
+        idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        return idx
+
+    @pytest.mark.parametrize("kernel", ["unrolled", "thresh", "xla"])
+    def test_masked_kernels_exclude_seen(self, kernel):
+        from torchrecsys_tpu.ops.dot_topk import (
+            dot_topk_pallas, dot_topk_pallas_thresh, pack_seen_mask,
+        )
+
+        uv, iv, ib, seen = self._setup()
+        n = iv.shape[0]
+        k = 12 if kernel != "thresh" else 40
+        mask = jnp.asarray(pack_seen_mask(seen, n))
+        if kernel == "unrolled":
+            v, i = dot_topk_pallas(uv, iv, ib, k, interpret=True, seen_mask=mask)
+        elif kernel == "thresh":
+            v, i = dot_topk_pallas_thresh(
+                uv, iv, ib, k, interpret=True, seen_mask=mask
+            )
+        else:
+            v, i = dot_topk_xla(uv, iv, ib, k, seen_mask=mask)
+        ref = self._reference(uv, iv, ib, seen, k)
+        np.testing.assert_array_equal(np.asarray(i), ref)
+        for u, su in enumerate(seen):
+            assert not (set(np.asarray(i)[u]) & set(su.tolist()))
+
+    def test_generic_chunked_scorer_respects_mask(self):
+        from torchrecsys_tpu.config import DataSchema, ModelConfig
+        from torchrecsys_tpu.eval.predict import full_catalog_topk
+        from torchrecsys_tpu.models import build_model
+        from torchrecsys_tpu.ops.dot_topk import pack_seen_mask
+
+        schema = DataSchema(num_users=12, num_items=150)
+        model = build_model(schema, ModelConfig(net_type="mlp", n_factors=8,
+                                                hidden_layers=(16,)))
+        params, state = model.init(jax.random.PRNGKey(0))
+        r = np.random.default_rng(1)
+        seen = [np.unique(r.integers(0, 150, 30)) for _ in range(5)]
+        mask = jnp.asarray(pack_seen_mask(seen, 150))
+        users = jnp.arange(5, dtype=jnp.int32)
+        _, ids = full_catalog_topk(
+            model, params, state, users, 150, top_k=10, chunk_size=64,
+            seen_mask=mask,
+        )
+        _, ids_plain = full_catalog_topk(
+            model, params, state, users, 150, top_k=100, chunk_size=64,
+        )
+        for u in range(5):
+            got = np.asarray(ids)[u]
+            assert not (set(got) & set(seen[u].tolist()))
+            # masked top-k == plain top-k with seen filtered out
+            expect = [i for i in np.asarray(ids_plain)[u] if i not in seen[u]][:10]
+            np.testing.assert_array_equal(got, expect, err_msg=f"user {u}")

@@ -302,10 +302,15 @@ class RecSys:
 
         ``exclude_seen=True`` drops each user's train-split items from
         their results (the reference offers this only on the unwired EASE,
-        ease.py:70): the scorer fetches ``top_k + max(seen)`` candidates
-        and filters host-side, so the result is exactly the top-k UNSEEN
-        items. Requires interaction data in this process (not available
-        after a cold ``RecSys.load``).
+        ease.py:70). Single-device gradient models exclude DEVICE-SIDE: a
+        packed per-user bitmask rides into the fused scorer, seen scores
+        become -inf before selection, and ``k_fetch`` stays ``top_k`` — no
+        over-fetch, no host filtering loop (the fast Pallas top-k path
+        stays engaged for any |seen|). Under a mesh and for EASE the scorer
+        fetches ``top_k + max(|seen|)`` candidates and filters host-side.
+        Either way the result is exactly the top-k UNSEEN items. Requires
+        interaction data in this process (not available after a cold
+        ``RecSys.load``).
 
         Returns (top_k,) for a scalar user or (U, top_k) for a sequence.
         """
@@ -321,6 +326,7 @@ class RecSys:
             raise KeyError(f"predict: unknown user_id — {e.args[0]}") from None
         num_items = self.store.schema.num_items
         seen: Optional[List[np.ndarray]] = None
+        seen_mask = None
         k_fetch = min(top_k, num_items)
         if exclude_seen:
             if self.store.num_train == 0:
@@ -329,11 +335,15 @@ class RecSys:
                     "this RecSys has none (cold RecSys.load?)"
                 )
             tu, ti = self.store.train_users, self.store.train_items
-            # dedupe: repeat interactions would otherwise inflate k_fetch
-            # past the unique-seen count, growing the fetched candidate
-            # lists for no reason (ADVICE r4)
+            # dedupe: repeat interactions would otherwise inflate the seen
+            # counts past the unique-seen size for no reason (ADVICE r4)
             seen = [np.unique(ti[tu == r]) for r in rows]
-            k_fetch = min(top_k + max(len(s) for s in seen), num_items)
+            if self.ease is None and self.mesh is None:
+                from torchrecsys_tpu.ops.dot_topk import pack_seen_mask
+
+                seen_mask = jnp.asarray(pack_seen_mask(seen, num_items))
+            else:
+                k_fetch = min(top_k + max(len(s) for s in seen), num_items)
         if self.ease is not None:
             scores = self.ease.scores(rows)
             _, ids = jax.lax.top_k(scores, k_fetch)
@@ -352,11 +362,36 @@ class RecSys:
                 chunk_size=prediction_batch_size,
                 mesh=self.mesh,
                 approx_recall=approx_recall,
+                seen_mask=seen_mask,
             )
             ids = np.asarray(ids)
-        if seen is not None:
+        if seen_mask is not None:
+            ids = self._patch_short_unseen_rows(np.array(ids), seen, num_items)
+        elif seen is not None:
             ids = self._filter_seen(ids, seen, top_k)
         return self._decode_items(ids, return_raw_ids, scalar)
+
+    @staticmethod
+    def _patch_short_unseen_rows(
+        ids: np.ndarray, seen: List[np.ndarray], num_items: int
+    ) -> np.ndarray:
+        """Device-masked top-k: masked items score -inf, so each row's first
+        ``num_items - |seen|`` entries are exactly the top unseen items. A
+        user with fewer unseen items than ``top_k`` gets the tail filled
+        with their last unseen candidate (matching the tiny-catalog
+        behavior of the host-filter path); a user with nothing unseen is an
+        error, as before."""
+        for r, s in enumerate(seen):
+            n_unseen = num_items - len(s)
+            if n_unseen == 0:
+                raise ValueError(
+                    "predict(exclude_seen=True): a requested user has "
+                    "interacted with the entire catalog — nothing unseen "
+                    "to recommend"
+                )
+            if n_unseen < ids.shape[1]:
+                ids[r, n_unseen:] = ids[r, n_unseen - 1]
+        return ids
 
     @staticmethod
     def _filter_seen(

@@ -64,11 +64,14 @@ def full_catalog_topk(
     feat: Optional[Features] = None,
     top_k: int = 10,
     chunk_size: int = 4096,
+    seen_mask: Optional[jnp.ndarray] = None,  # ops.dot_topk.pack_seen_mask
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Generic chunked top-k (works for every model).
 
     Returns (scores (U, k), item_rows (U, k)), sorted descending — matching
     the reference's descending ``torch.sort`` contract (model.py:443-451).
+    ``seen_mask`` excludes each user's seen items device-side (their scores
+    become -inf before the running merge).
     """
     k = min(top_k, num_items)
     chunk = min(chunk_size, num_items)
@@ -91,6 +94,10 @@ def full_catalog_topk(
         item_chunk, valid_chunk = xs
         s = _score_chunk(model, params, state, user_ids, item_chunk, feat)
         s = jnp.where(valid_chunk[None, :], s, -jnp.inf)
+        if seen_mask is not None:
+            from torchrecsys_tpu.ops.dot_topk import mask_bits_for_items
+
+            s = jnp.where(mask_bits_for_items(seen_mask, item_chunk), -jnp.inf, s)
         cat_scores = jnp.concatenate([top_scores, s], axis=1)
         cat_ids = jnp.concatenate(
             [top_ids, jnp.broadcast_to(item_chunk[None, :], (u, chunk))], axis=1
@@ -114,6 +121,7 @@ def _fused_catalog_topk(
     feat: Optional[Features],
     top_k: int,
     approx_recall: Optional[float] = None,
+    seen_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     from torchrecsys_tpu.ops.dot_topk import dot_topk
 
@@ -122,7 +130,7 @@ def _fused_catalog_topk(
     user_vecs, user_const = user_fn(params, user_ids)
     raw, ids = dot_topk(
         user_vecs, item_vecs, item_bias, min(top_k, num_items),
-        approx_recall=approx_recall,
+        approx_recall=approx_recall, seen_mask=seen_mask,
     )
     return transform(raw, user_const), ids
 
@@ -221,6 +229,7 @@ def catalog_topk(
     use_fused: bool = True,
     mesh: Optional[jax.sharding.Mesh] = None,
     approx_recall: Optional[float] = None,
+    seen_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-catalog top-k with automatic kernel dispatch.
 
@@ -234,7 +243,18 @@ def catalog_topk(
     ``approx_recall`` (linearizable models only) switches the scorer to the
     TPU's hardware approximate top-k (ops/dot_topk.py:dot_topk_approx) —
     measured 3.3x the exact kernel at 1M items for a bounded recall loss.
+
+    ``seen_mask`` (ops/dot_topk.py:pack_seen_mask) excludes each user's
+    seen items inside the scorer (device-side exclude_seen). Not available
+    under a mesh — the sharded scorer's item shards would need mask shards
+    aligned to word boundaries; callers fall back to over-fetch + host
+    filtering there (api.py).
     """
+    if seen_mask is not None and mesh is not None:
+        raise ValueError(
+            "seen_mask is not supported under a mesh — fetch top_k + "
+            "max(|seen|) and filter host-side instead (RecSys.predict does)"
+        )
     if use_fused and model.supports_linearized_catalog:
         if mesh is not None:
             return _sharded_catalog_topk(
@@ -243,7 +263,7 @@ def catalog_topk(
             )
         return _fused_catalog_topk(
             model, params, user_ids, num_items, feat, top_k,
-            approx_recall=approx_recall,
+            approx_recall=approx_recall, seen_mask=seen_mask,
         )
     if approx_recall is not None:
         # Loud refusal, not a silent exact fallback: approximate serving
@@ -277,6 +297,7 @@ def catalog_topk(
         feat,
         top_k=top_k,
         chunk_size=chunk_size,
+        seen_mask=seen_mask,
     )
 
 

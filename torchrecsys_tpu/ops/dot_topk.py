@@ -44,6 +44,57 @@ def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
+# ---------------------------------------------------------------------------
+# per-user seen-item masks (device-side exclude_seen, VERDICT r4 #5)
+#
+# A user's seen set rides as PACKED BITS — (U, n_pad/32) int32, 3% of the
+# equivalent byte mask's HBM stream — laid out so the kernels can expand a
+# tile's worth with ONE pltpu.repeat + vector shift: within each
+# _MASK_TILE-item tile, item j lives in word (j % W), bit (j // W), with
+# W = _MASK_TILE/32 words per tile (pltpu.repeat is a TILE repeat — lane l
+# of the repeated block holds word l % W — so the strided layout makes
+# lane j's word exactly the one holding its bit).
+# ---------------------------------------------------------------------------
+
+_MASK_TILE = 4096  # masked kernels always run this item-tile size
+
+
+def pack_seen_mask(seen_lists, n: int) -> np.ndarray:
+    """Per-user seen item-row lists -> (U, n_pad/32) int32 packed mask in
+    the kernel's strided layout (host-side numpy, vectorized)."""
+    w = _MASK_TILE // 32
+    n_pad = _round_up(max(n, 1), _MASK_TILE)
+    out = np.zeros((len(seen_lists), n_pad // 32), np.uint32)
+    lens = [len(s) for s in seen_lists]
+    if sum(lens):
+        uu = np.repeat(np.arange(len(seen_lists)), lens)
+        gg = np.concatenate([np.asarray(s, np.int64) for s in seen_lists])
+        j = gg % _MASK_TILE
+        word = (gg // _MASK_TILE) * w + (j % w)
+        bit = (j // w).astype(np.uint32)
+        np.bitwise_or.at(out, (uu, word), np.uint32(1) << bit)
+    return out.view(np.int32)
+
+
+def mask_bits_for_items(mask: jnp.ndarray, item_ids: jnp.ndarray) -> jnp.ndarray:
+    """(U, n_pad/32) packed mask x (C,) item rows -> (U, C) bool (XLA-side
+    decode of the strided layout, for the non-kernel scorers)."""
+    w = _MASK_TILE // 32
+    j = item_ids % _MASK_TILE
+    word = (item_ids // _MASK_TILE) * w + (j % w)
+    bit = (j // w).astype(jnp.int32)
+    words = jnp.take(mask, word, axis=1)  # (U, C)
+    return (jax.lax.shift_right_logical(words, bit[None, :]) & 1) != 0
+
+
+def _mask_tile_bits(mask_block: jnp.ndarray, col: jnp.ndarray) -> jnp.ndarray:
+    """In-kernel decode: (u_t, W) packed words of ONE tile -> (u_t, n_tile)
+    0/1 ints. ``col`` is the lane iota of the tile."""
+    w = mask_block.shape[1]
+    rep = pltpu.repeat(mask_block, col.shape[1] // w, axis=1)
+    return jax.lax.shift_right_logical(rep, col // w) & 1
+
+
 def _first_argmax(vals: jnp.ndarray, col: jnp.ndarray, m: jnp.ndarray):
     """Column of the FIRST (lowest-index) maximum of each row.
 
@@ -86,14 +137,17 @@ def _dot_topk_kernel(
     u_ref,  # (U_T, D) user vectors
     it_ref,  # (N_T, D) item-tile vectors
     bias_ref,  # (1, N_T) item-tile bias
-    vals_out,  # (U_T, k)
-    ids_out,  # (U_T, k)
-    vals_scr,  # (U_T, k) running values
-    ids_scr,  # (U_T, k) running ids
-    *,
+    # [mask_ref (U_T, N_T/32) when use_mask], then:
+    # vals_out (U_T, k), ids_out, vals_scr, ids_scr
+    *refs,
     k: int,
     n_tile: int,
+    use_mask: bool = False,
 ):
+    if use_mask:
+        mask_ref, vals_out, ids_out, vals_scr, ids_scr = refs
+    else:
+        vals_out, ids_out, vals_scr, ids_scr = refs
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -110,6 +164,9 @@ def _dot_topk_kernel(
     )
     s = s + bias_ref[0, :][None, :]
     u_t = s.shape[0]
+    if use_mask:
+        mcol = jax.lax.broadcasted_iota(jnp.int32, (u_t, n_tile), 1)
+        s = jnp.where(_mask_tile_bits(mask_ref[:], mcol) != 0, _NEG_INF, s)
 
     # Per-tile top-k straight from argmax: the tile's candidate ids are
     # j*n_tile + lane, so the winning id IS the argmax — no (U_T, N_T)
@@ -150,6 +207,7 @@ def dot_topk_pallas(
     interpret: bool = False,
     n_tile: int = 4096,
     u_tile: int = 128,
+    seen_mask: Optional[jnp.ndarray] = None,  # (U, n_pad/32) pack_seen_mask
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(U, k) top-k scores + item indices of ``user_vecs @ item_vecs.T +
     item_bias``, descending.
@@ -175,10 +233,15 @@ def dot_topk_pallas(
         vdt = jnp.float32
     row_align = 16 if vdt == jnp.bfloat16 else 8
 
+    use_mask = seen_mask is not None
+    if use_mask:
+        n_tile = _MASK_TILE  # the packed-mask layout is tied to this tile
     u_t = min(_round_up(u, row_align), u_tile)
     u_pad = _round_up(u, u_t)
     d_pad = _round_up(d, 128)
-    n_t = min(_round_up(n, 128), n_tile)
+    # masked runs keep the FULL mask tile even for small catalogs — the
+    # packed layout's word/bit arithmetic assumes _MASK_TILE-item tiles
+    n_t = n_tile if use_mask else min(_round_up(n, 128), n_tile)
     n_pad = _round_up(n, n_t)
 
     uv = jnp.zeros((u_pad, d_pad), vdt).at[:u, :d].set(
@@ -193,15 +256,33 @@ def dot_topk_pallas(
     )
 
     grid = (u_pad // u_t, n_pad // n_t)
-    kernel = functools.partial(_dot_topk_kernel, k=k, n_tile=n_t)
+    in_specs = [
+        pl.BlockSpec((u_t, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_t, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    args = [uv, iv, ib]
+    if use_mask:
+        mw = n_pad // 32
+        if seen_mask.shape != (u, mw):
+            raise ValueError(
+                f"seen_mask shape {seen_mask.shape} != ({u}, {mw}) — build it "
+                f"with pack_seen_mask(seen_lists, n={n})"
+            )
+        mk = jnp.zeros((u_pad, mw), jnp.int32).at[:u].set(seen_mask)
+        in_specs.append(
+            pl.BlockSpec(
+                (u_t, n_t // 32), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            )
+        )
+        args.append(mk)
+    kernel = functools.partial(
+        _dot_topk_kernel, k=k, n_tile=n_t, use_mask=use_mask
+    )
     vals, ids = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((u_t, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_t, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((u_t, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((u_t, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -221,7 +302,7 @@ def dot_topk_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(uv, iv, ib)
+    )(*args)
     return vals[:u], ids[:u]
 
 
@@ -230,12 +311,14 @@ def dot_topk_xla(
     item_vecs: jnp.ndarray,
     item_bias: jnp.ndarray,
     k: int,
+    seen_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pure-XLA reference implementation (also the non-TPU fallback).
 
     Like the kernel, the vector dtype is honored (bf16 stays bf16 on the
     MXU) with f32 score accumulation."""
-    k = min(k, item_vecs.shape[0])
+    n = item_vecs.shape[0]
+    k = min(k, n)
     vdt = jnp.promote_types(user_vecs.dtype, item_vecs.dtype)
     if vdt not in (jnp.float32, jnp.bfloat16):
         vdt = jnp.float32
@@ -245,6 +328,9 @@ def dot_topk_xla(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + item_bias.astype(jnp.float32)[None, :]
+    if seen_mask is not None:
+        bits = mask_bits_for_items(seen_mask, jnp.arange(n, dtype=jnp.int32))
+        scores = jnp.where(bits, _NEG_INF, scores)
     return jax.lax.top_k(scores, k)
 
 
@@ -277,13 +363,12 @@ def _dot_topk_threshold_kernel(
     u_ref,  # (U_T, D) user vectors
     it_ref,  # (N_T, D) item-tile vectors
     bias_ref,  # (1, N_T) item-tile bias
-    vals_out,  # (U_T, k) UNSORTED top-k values
-    ids_out,  # (U_T, k) their item ids
-    vals_scr,  # (U_T, k) running candidate values
-    ids_scr,  # (U_T, k)
-    *,
+    # [mask_ref (U_T, N_T/32) when use_mask], then:
+    # vals_out (U_T, k) UNSORTED, ids_out, vals_scr, ids_scr
+    *refs,
     k: int,
     n_tile: int,
+    use_mask: bool = False,
 ):
     """Large-k (k > 64) score + top-k: threshold early-exit selection.
 
@@ -307,6 +392,10 @@ def _dot_topk_threshold_kernel(
     threshold admits the first-seen maximal candidates) — a measure-zero
     event for f32 dot scores, documented rather than paid for.
     """
+    if use_mask:
+        mask_ref, vals_out, ids_out, vals_scr, ids_scr = refs
+    else:
+        vals_out, ids_out, vals_scr, ids_scr = refs
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -323,6 +412,8 @@ def _dot_topk_threshold_kernel(
     s = s + bias_ref[0, :][None, :]
     u_t = s.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (u_t, n_tile), 1)
+    if use_mask:
+        s = jnp.where(_mask_tile_bits(mask_ref[:], col) != 0, _NEG_INF, s)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (u_t, k), 1)
 
     def cond(carry):
@@ -359,6 +450,7 @@ def dot_topk_pallas_thresh(
     interpret: bool = False,
     n_tile: int = 4096,
     u_tile: int = 128,
+    seen_mask: Optional[jnp.ndarray] = None,  # (U, n_pad/32) pack_seen_mask
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Threshold-kernel variant of :func:`dot_topk_pallas` for k > 64.
     Same contract (descending scores, ids; lowest-id tie order in the final
@@ -366,6 +458,9 @@ def dot_topk_pallas_thresh(
     u, d = user_vecs.shape
     n = item_vecs.shape[0]
     k = min(k, n)
+    use_mask = seen_mask is not None
+    if use_mask:
+        n_tile = _MASK_TILE  # the packed-mask layout is tied to this tile
 
     vdt = jnp.promote_types(user_vecs.dtype, item_vecs.dtype)
     if vdt not in (jnp.float32, jnp.bfloat16):
@@ -375,7 +470,7 @@ def dot_topk_pallas_thresh(
     u_t = min(_round_up(u, row_align), u_tile)
     u_pad = _round_up(u, u_t)
     d_pad = _round_up(d, 128)
-    n_t = min(_round_up(n, 128), n_tile)
+    n_t = n_tile if use_mask else min(_round_up(n, 128), n_tile)
     n_pad = _round_up(n, n_t)
     k_pad = _round_up(k, 128)  # lane-aligned scratch
 
@@ -386,15 +481,33 @@ def dot_topk_pallas_thresh(
     )
 
     grid = (u_pad // u_t, n_pad // n_t)
-    kernel = functools.partial(_dot_topk_threshold_kernel, k=k_pad, n_tile=n_t)
+    in_specs = [
+        pl.BlockSpec((u_t, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_t, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    args = [uv, iv, ib]
+    if use_mask:
+        mw = n_pad // 32
+        if seen_mask.shape != (u, mw):
+            raise ValueError(
+                f"seen_mask shape {seen_mask.shape} != ({u}, {mw}) — build it "
+                f"with pack_seen_mask(seen_lists, n={n})"
+            )
+        mk = jnp.zeros((u_pad, mw), jnp.int32).at[:u].set(seen_mask)
+        in_specs.append(
+            pl.BlockSpec(
+                (u_t, n_t // 32), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            )
+        )
+        args.append(mk)
+    kernel = functools.partial(
+        _dot_topk_threshold_kernel, k=k_pad, n_tile=n_t, use_mask=use_mask
+    )
     vals, ids = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((u_t, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_t, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((u_t, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((u_t, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -414,7 +527,7 @@ def dot_topk_pallas_thresh(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(uv, iv, ib)
+    )(*args)
     # order the unsorted pool: value desc, item id asc (lax.top_k's rule)
     order = jnp.lexsort((ids[:u], -vals[:u]))[:, :k]
     return (
@@ -429,6 +542,7 @@ def dot_topk_approx(
     item_bias: jnp.ndarray,
     k: int,
     recall_target: float = 0.95,
+    seen_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate score+top-k via the TPU's HARDWARE PartialReduce op
     (``jax.lax.approx_max_k``).
@@ -450,21 +564,29 @@ def dot_topk_approx(
     if vdt not in (jnp.float32, jnp.bfloat16):
         vdt = jnp.float32
 
-    def run(uv_chunk):
+    def run(uv_chunk, mask_chunk):
         scores = jax.lax.dot_general(
             uv_chunk.astype(vdt),
             item_vecs.astype(vdt),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + item_bias.astype(jnp.float32)[None, :]
+        if mask_chunk is not None:
+            bits = mask_bits_for_items(
+                mask_chunk, jnp.arange(n, dtype=jnp.int32)
+            )
+            scores = jnp.where(bits, _NEG_INF, scores)
         return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
 
     u_chunk = max(8, int(2e9 / (n * 4)))
     if u <= u_chunk:
-        return run(user_vecs)
+        return run(user_vecs, seen_mask)
     vals, ids = [], []
     for s in range(0, u, u_chunk):
-        v, i = run(user_vecs[s : s + u_chunk])
+        v, i = run(
+            user_vecs[s : s + u_chunk],
+            None if seen_mask is None else seen_mask[s : s + u_chunk],
+        )
         vals.append(v)
         ids.append(i)
     return jnp.concatenate(vals, axis=0), jnp.concatenate(ids, axis=0)
@@ -476,22 +598,34 @@ def dot_topk(
     item_bias: jnp.ndarray,
     k: int,
     approx_recall: Optional[float] = None,
+    seen_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused score+top-k: Pallas kernel on TPU (serving-typical k), XLA
     fallback elsewhere and for very large k. ``approx_recall`` switches to
     the hardware approximate path (:func:`dot_topk_approx`) — ~3x faster
-    at 1M-item catalogs for a bounded recall loss."""
+    at 1M-item catalogs for a bounded recall loss. ``seen_mask``
+    (:func:`pack_seen_mask`) excludes each user's seen items inside the
+    scorer — the device-side exclude_seen path (VERDICT r4 #5): masked
+    scores are _NEG_INF and never selected."""
     if approx_recall is not None:
         return dot_topk_approx(
-            user_vecs, item_vecs, item_bias, k, recall_target=approx_recall
+            user_vecs, item_vecs, item_bias, k, recall_target=approx_recall,
+            seen_mask=seen_mask,
         )
     if jax.default_backend() == "tpu" and k <= _PALLAS_UNROLLED_MAX_K:
-        return dot_topk_pallas(user_vecs, item_vecs, item_bias, k, n_tile=8192)
+        # masked calls run the 4096 tile (the packed-mask layout's tile)
+        n_tile = 4096 if seen_mask is not None else 8192
+        return dot_topk_pallas(
+            user_vecs, item_vecs, item_bias, k, n_tile=n_tile,
+            seen_mask=seen_mask,
+        )
     if jax.default_backend() == "tpu" and k <= _PALLAS_THRESH_MAX_K:
         # threshold early-exit kernel (VERDICT r4 #4): nearly flat in k —
         # 13.5/13.9/19.5/30.0 ms at k=64/128/256/512 vs XLA's full sort at
         # 57/109/211/418 ms (table above). Note: when several items tie
         # EXACTLY at the k-th value, which of them is returned may differ
         # from lax.top_k's lowest-index rule (kernel docstring).
-        return dot_topk_pallas_thresh(user_vecs, item_vecs, item_bias, k)
-    return dot_topk_xla(user_vecs, item_vecs, item_bias, k)
+        return dot_topk_pallas_thresh(
+            user_vecs, item_vecs, item_bias, k, seen_mask=seen_mask
+        )
+    return dot_topk_xla(user_vecs, item_vecs, item_bias, k, seen_mask=seen_mask)
