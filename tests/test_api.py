@@ -546,3 +546,24 @@ def test_exclude_seen_device_mask_matches_host_filter():
         expect = [x for x in full[i] if x not in seen][:8]
         np.testing.assert_array_equal(got[i][: len(expect)], expect)
         assert not (set(got[i].tolist()) & seen)
+
+
+def test_exclude_seen_on_mesh_uses_device_mask():
+    """Under a mesh, linearizable models now exclude seen items via the
+    model-axis-sharded mask (no over-fetch); results match the no-mesh
+    device-mask path."""
+    from torchrecsys_tpu.parallel import make_mesh
+
+    r = np.random.default_rng(9)
+    data = {"user_id": r.integers(0, 30, 400), "item_id": r.integers(0, 50, 400)}
+    out = {}
+    for mesh in (None, make_mesh(data=4, model=2)):
+        rs = RecSys(dict(data), n_factors=8, net_type="linear",
+                    split_ratio=1.0, mesh=mesh)
+        rs.fit(epochs=2, batch_size=64, verbose=False)
+        out[mesh is None] = rs.predict([0, 7], top_k=6, return_raw_ids=False,
+                                       exclude_seen=True)
+        row = rs.store.user_encoder.encode_one(0)
+        seen = set(rs.store.train_items[rs.store.train_users == row].tolist())
+        assert not (set(out[mesh is None][0].tolist()) & seen)
+    np.testing.assert_array_equal(out[True], out[False])

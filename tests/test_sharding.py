@@ -323,3 +323,36 @@ def test_sequence_models_sharded_epoch_matches_single_device(store, net_type, ax
         np.asarray(s_ref["tables"]["item"]),
         atol=2e-5,
     )
+
+
+@pytest.mark.parametrize("axes", [(8, 1), (4, 2), (1, 8)], ids=str)
+def test_sharded_exclude_seen_mask_matches_single_device(axes):
+    """The seen-mask shards with the catalog along 'model' (_MASK_TILE-
+    aligned shard boundaries keep each slice self-contained): masked
+    sharded predict must equal masked single-device predict."""
+    from torchrecsys_tpu.config import DataSchema, ModelConfig
+    from torchrecsys_tpu.eval.predict import catalog_topk
+    from torchrecsys_tpu.models import build_model
+    from torchrecsys_tpu.ops.dot_topk import pack_seen_mask
+    from torchrecsys_tpu.parallel import make_mesh
+
+    schema = DataSchema(num_users=40, num_items=700)
+    model = build_model(schema, ModelConfig(net_type="linear", n_factors=8))
+    params, state = model.init(jax.random.PRNGKey(2))
+    r = np.random.default_rng(0)
+    users = jnp.arange(16, dtype=jnp.int32)
+    seen = [np.unique(r.integers(0, 700, 60)) for _ in range(16)]
+    mask = jnp.asarray(pack_seen_mask(seen, 700))
+    s_ref, i_ref = catalog_topk(
+        model, params, state, users, 700, top_k=12, seen_mask=mask
+    )
+    mesh = make_mesh(data=axes[0], model=axes[1])
+    s_m, i_m = catalog_topk(
+        model, params, state, users, 700, top_k=12, mesh=mesh, seen_mask=mask
+    )
+    np.testing.assert_array_equal(np.asarray(i_m), np.asarray(i_ref))
+    np.testing.assert_allclose(
+        np.asarray(s_m), np.asarray(s_ref), rtol=1e-6, atol=1e-7
+    )
+    for u in range(16):
+        assert not (set(np.asarray(i_m)[u].tolist()) & set(seen[u].tolist()))

@@ -302,15 +302,16 @@ class RecSys:
 
         ``exclude_seen=True`` drops each user's train-split items from
         their results (the reference offers this only on the unwired EASE,
-        ease.py:70). Single-device gradient models exclude DEVICE-SIDE: a
-        packed per-user bitmask rides into the fused scorer, seen scores
-        become -inf before selection, and ``k_fetch`` stays ``top_k`` — no
+        ease.py:70). Gradient models exclude DEVICE-SIDE: a packed
+        per-user bitmask rides into the fused scorer (sharded along the
+        ``model`` axis with the catalog under a mesh), seen scores become
+        -inf before selection, and ``k_fetch`` stays ``top_k`` — no
         over-fetch, no host filtering loop (the fast Pallas top-k path
-        stays engaged for any |seen|). Under a mesh and for EASE the scorer
-        fetches ``top_k + max(|seen|)`` candidates and filters host-side.
-        Either way the result is exactly the top-k UNSEEN items. Requires
-        interaction data in this process (not available after a cold
-        ``RecSys.load``).
+        stays engaged for any |seen|). EASE — and non-linearizable models
+        on a mesh — fetch ``top_k + max(|seen|)`` candidates and filter
+        host-side. Either way the result is exactly the top-k UNSEEN
+        items. Requires interaction data in this process (not available
+        after a cold ``RecSys.load``).
 
         Returns (top_k,) for a scalar user or (U, top_k) for a sequence.
         """
@@ -338,7 +339,10 @@ class RecSys:
             # dedupe: repeat interactions would otherwise inflate the seen
             # counts past the unique-seen size for no reason (ADVICE r4)
             seen = [np.unique(ti[tu == r]) for r in rows]
-            if self.ease is None and self.mesh is None:
+            mask_ok = self.ease is None and (
+                self.mesh is None or self.model.supports_linearized_catalog
+            )
+            if mask_ok:
                 from torchrecsys_tpu.ops.dot_topk import pack_seen_mask
 
                 seen_mask = jnp.asarray(pack_seen_mask(seen, num_items))

@@ -151,6 +151,7 @@ def _sharded_catalog_topk(
     mesh: jax.sharding.Mesh,
     axis: str = "model",
     approx_recall: Optional[float] = None,
+    seen_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Model-axis-sharded full-catalog score + top-k (SURVEY §7 hard part (c)).
 
@@ -181,7 +182,16 @@ def _sharded_catalog_topk(
     m = mesh.shape[axis]
     n, d = item_vecs.shape
     k = min(top_k, num_items)
-    r_pad = -(-n // m) * m
+    if seen_mask is None:
+        r_pad = -(-n // m) * m
+    else:
+        # seen-mask shards must be self-contained: the packed layout works
+        # in _MASK_TILE-item tiles, so each shard's row count must be a
+        # tile multiple — then shard s's mask slice IS the mask of its
+        # local catalog (ops/dot_topk.py layout)
+        from torchrecsys_tpu.ops.dot_topk import _MASK_TILE
+
+        r_pad = -(-n // (m * _MASK_TILE)) * m * _MASK_TILE
     # padded rows get -inf bias so they never win a local top-k; each shard
     # is r_pad // m rows so BlockSpecs stay uniform across devices
     iv = jnp.zeros((r_pad, d), item_vecs.dtype).at[:n].set(item_vecs)
@@ -189,11 +199,20 @@ def _sharded_catalog_topk(
     iv = jax.lax.with_sharding_constraint(iv, NamedSharding(mesh, P(axis, None)))
     ib = jax.lax.with_sharding_constraint(ib, NamedSharding(mesh, P(axis)))
     k_local = min(k, r_pad // m)
+    mask_arg = None
+    if seen_mask is not None:
+        u_cnt = user_vecs.shape[0]
+        mask_arg = jnp.zeros((u_cnt, r_pad // 32), jnp.int32)
+        mask_arg = mask_arg.at[:, : seen_mask.shape[1]].set(seen_mask)
+        mask_arg = jax.lax.with_sharding_constraint(
+            mask_arg, NamedSharding(mesh, P(None, axis))
+        )
 
-    def block(uv, iv_shard, ib_shard):
+    def block(uv, iv_shard, ib_shard, mask_shard=None):
         start = jax.lax.axis_index(axis) * iv_shard.shape[0]
         vals, ids = dot_topk(
-            uv, iv_shard, ib_shard, k_local, approx_recall=approx_recall
+            uv, iv_shard, ib_shard, k_local, approx_recall=approx_recall,
+            seen_mask=mask_shard,
         )
         return vals, ids + start
 
@@ -205,13 +224,22 @@ def _sharded_catalog_topk(
     # the manual in/out specs fully pin the layout regardless.
     from torchrecsys_tpu.parallel.sharding import shard_map_norep
 
-    fn = shard_map_norep(
-        block,
-        mesh,
-        (P(), P(axis, None), P(axis)),
-        (P(None, axis), P(None, axis)),
-    )
-    c_vals, c_ids = fn(user_vecs, iv, ib)  # (U, m * k_local)
+    if mask_arg is None:
+        fn = shard_map_norep(
+            block,
+            mesh,
+            (P(), P(axis, None), P(axis)),
+            (P(None, axis), P(None, axis)),
+        )
+        c_vals, c_ids = fn(user_vecs, iv, ib)  # (U, m * k_local)
+    else:
+        fn = shard_map_norep(
+            block,
+            mesh,
+            (P(), P(axis, None), P(axis), P(None, axis)),
+            (P(None, axis), P(None, axis)),
+        )
+        c_vals, c_ids = fn(user_vecs, iv, ib, mask_arg)
     raw, pos = jax.lax.top_k(c_vals, k)
     ids = jnp.take_along_axis(c_ids, pos, axis=1)
     return transform(raw, user_const), ids
@@ -245,21 +273,27 @@ def catalog_topk(
     measured 3.3x the exact kernel at 1M items for a bounded recall loss.
 
     ``seen_mask`` (ops/dot_topk.py:pack_seen_mask) excludes each user's
-    seen items inside the scorer (device-side exclude_seen). Not available
-    under a mesh — the sharded scorer's item shards would need mask shards
-    aligned to word boundaries; callers fall back to over-fetch + host
-    filtering there (api.py).
+    seen items inside the scorer (device-side exclude_seen). Under a mesh
+    the mask shards with the catalog along ``'model'`` (shard boundaries
+    are _MASK_TILE-aligned so each shard's slice is self-contained) on the
+    fused path; the mesh GENERIC path (non-linearizable models) falls back
+    to over-fetch + host filtering in the caller (api.py).
     """
-    if seen_mask is not None and mesh is not None:
+    if (
+        seen_mask is not None
+        and mesh is not None
+        and not (use_fused and model.supports_linearized_catalog)
+    ):
         raise ValueError(
-            "seen_mask is not supported under a mesh — fetch top_k + "
-            "max(|seen|) and filter host-side instead (RecSys.predict does)"
+            "seen_mask on a mesh requires the fused (linearizable) scorer; "
+            "for generic models fetch top_k + max(|seen|) and filter "
+            "host-side instead (RecSys.predict does)"
         )
     if use_fused and model.supports_linearized_catalog:
         if mesh is not None:
             return _sharded_catalog_topk(
                 model, params, user_ids, num_items, feat, top_k, mesh,
-                approx_recall=approx_recall,
+                approx_recall=approx_recall, seen_mask=seen_mask,
             )
         return _fused_catalog_topk(
             model, params, user_ids, num_items, feat, top_k,
