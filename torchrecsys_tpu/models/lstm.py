@@ -66,10 +66,16 @@ class LSTMModel(RecModel):
         }
 
     def gathers(self, batch: Batch) -> Dict[str, Tuple[str, jnp.ndarray]]:
+        hist_ids = batch["hist_ids"]
+        b = batch.get("_pair_b")
+        if b is not None:
+            # paired side: both halves carry the SAME user's history —
+            # gather (and later scatter) each pair's history rows once
+            hist_ids = hist_ids[:b]
         return {
             "item": ("item", batch["item_id"]),
             "item_bias": ("item_bias", batch["item_id"]),
-            "hist": ("item", batch["hist_ids"]),  # (B, L) -> (B, L, D)
+            "hist": ("item", hist_ids),  # (B, L) -> (B, L, D)
         }
 
     def _encode(
@@ -116,12 +122,27 @@ class LSTMModel(RecModel):
         train: bool,
     ) -> Tuple[jnp.ndarray, State]:
         cd = self.compute_dtype
-        item = rows["item"].astype(cd)  # (B, D)
-        hist = rows["hist"]  # (B, L, D)
-        mask = batch["hist_mask"]
-        # leakage control: hide the scored candidate from its own history
-        mask = mask & (batch["hist_ids"] != batch["item_id"][:, None])
-        h = self._encode(dense, hist, mask)
+        item = rows["item"].astype(cd)  # (2B or B, D)
+        hist = rows["hist"]  # (B, L, D) — halved on paired sides
+        b = batch.get("_pair_b")
+        if b is None:
+            # generic per-row batch: hide the scored candidate from its own
+            # history (leakage control — the positive can't see itself)
+            mask = batch["hist_mask"]
+            mask = mask & (batch["hist_ids"] != batch["item_id"][:, None])
+            h = self._encode(dense, hist, mask)
+        else:
+            # paired (pos|neg) side: encode each pair's shared history ONCE
+            # with the POSITIVE hidden, and score both halves against that
+            # state — the standard sequence-recsys training setup (one
+            # encoder pass serves every candidate). The negative no longer
+            # prunes its own (rare, p~|hist|/N) history occurrence; leakage
+            # control is unchanged — the label never attends to itself.
+            mask = batch["hist_mask"][:b] & (
+                batch["hist_ids"][:b] != batch["item_id"][:b, None]
+            )
+            h_half = self._encode(dense, hist, mask)
+            h = jnp.concatenate([h_half, h_half])
         score = jnp.sum(h * item, axis=-1) + rows["item_bias"][:, 0].astype(cd)
         return score.astype(jnp.float32), state
 

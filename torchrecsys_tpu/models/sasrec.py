@@ -11,12 +11,16 @@ everything downstream (fused top-k predict, sharded serving, ranking
 eval, checkpointing) works unchanged.
 
 TPU notes: the whole encoder is dense batched matmuls over (B, L, D) with
-L = ``history_len`` (default 20) — MXU-friendly, no sequence parallelism
-needed at these lengths (SURVEY §5.7: SP/CP documented N/A). Causal +
-padding masking uses a -1e9 additive mask (not -inf: rows with no valid
-key would softmax to NaN). Positional embeddings are a learned
-``(L, D)`` table trained through the same sparse gather/scatter path as
-every other table.
+L = ``history_len`` (default 20) — no sequence parallelism needed at these
+lengths (SURVEY §5.7: SP/CP documented N/A). Causal + padding masking uses
+a -1e9 additive mask (not -inf: rows with no valid key would softmax to
+NaN). Positional embeddings live in the DENSE pytree (see init_dense).
+On paired (pos|neg) training sides the encoder runs ONCE per pair against
+the shared history with the positive hidden (score_rows) — measured
+159K -> 378K examples/s on the 10M bench workload. The residual per-block
+cost is layout-bound, not FLOP-bound: attention at (L=20, d_head=40)
+leaves the 128x128 MXU mostly idle, an inherent small-sequence shape
+property at serving-style history lengths.
 """
 
 from __future__ import annotations
@@ -66,13 +70,12 @@ class SASRecModel(RecModel):
         return {
             "item": TableSpec(s.num_items, d, "scaled"),
             "item_bias": TableSpec(s.num_items, 1, "zero"),
-            # learned positional embeddings over the history window
-            "position": TableSpec(self.cfg.history_len, d, "scaled"),
         }
 
     def init_dense(self, key: jax.Array) -> Any:
         d = self.cfg.n_factors
         blocks = []
+        key, kp = jax.random.split(key)
         keys = jax.random.split(key, self.cfg.sasrec_blocks)
         for kb in keys:
             k1, k2, k3, k4 = jax.random.split(kb, 4)
@@ -86,7 +89,18 @@ class SASRecModel(RecModel):
                     "ln2": self._ln_params(d),
                 }
             )
-        return {"blocks": blocks, "ln_out": self._ln_params(d)}
+        # Learned positional embeddings live in the DENSE pytree, not as an
+        # embedding table: every batch row gathers positions 0..L-1
+        # identically, so a table-side treatment scatter-adds 2B*L
+        # duplicate gradient rows onto L rows per step — an extreme-
+        # collision scatter (measured +11% train throughput from moving it
+        # dense, 159K -> 177K ex/s on the 10M bench workload, before the
+        # pair-encode change took it to 378K). Dense-side, autograd reduces
+        # the gradient with one sum and optax updates it like any weight.
+        pos = (
+            jax.random.normal(kp, (self.cfg.history_len, d)) * (1.0 / d)
+        ).astype(self.param_dtype)
+        return {"blocks": blocks, "ln_out": self._ln_params(d), "pos": pos}
 
     def _ln_params(self, d: int) -> Dict[str, jnp.ndarray]:
         return {
@@ -95,23 +109,22 @@ class SASRecModel(RecModel):
         }
 
     def gathers(self, batch: Batch) -> Dict[str, Tuple[str, jnp.ndarray]]:
-        b = batch["item_id"].shape[0]
-        l = batch["hist_ids"].shape[1]
+        hist_ids = batch["hist_ids"]
+        b = batch.get("_pair_b")
+        if b is not None:
+            # paired side: both halves carry the SAME user's history —
+            # gather (and later scatter) each pair's history rows once
+            hist_ids = hist_ids[:b]
         return {
             "item": ("item", batch["item_id"]),
             "item_bias": ("item_bias", batch["item_id"]),
-            "hist": ("item", batch["hist_ids"]),  # (B, L) -> (B, L, D)
-            "pos": (
-                "position",
-                jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32), (b, l)),
-            ),
+            "hist": ("item", hist_ids),  # (B, L) -> (B, L, D)
         }
 
     def _encode(
         self,
         dense: Any,
         hist_emb: jnp.ndarray,  # (B, L, D)
-        pos_emb: jnp.ndarray,  # (B, L, D)
         hist_mask: jnp.ndarray,  # (B, L) bool
     ) -> jnp.ndarray:
         """Masked causal self-attention encoder -> (B, D) user vectors
@@ -123,7 +136,8 @@ class SASRecModel(RecModel):
         bsz, l, _ = hist_emb.shape
         mask_f = hist_mask.astype(cd)[..., None]
 
-        x = (hist_emb.astype(cd) + pos_emb.astype(cd)) * mask_f
+        pos_emb = dense["pos"][:l].astype(cd)[None, :, :]
+        x = (hist_emb.astype(cd) + pos_emb) * mask_f
         # causal + key-padding additive mask, (B, 1, L, L) over heads
         causal = jnp.tril(jnp.ones((l, l), bool))
         allowed = causal[None, :, :] & hist_mask[:, None, :]
@@ -173,12 +187,23 @@ class SASRecModel(RecModel):
         train: bool,
     ) -> Tuple[jnp.ndarray, State]:
         cd = self.compute_dtype
-        item = rows["item"].astype(cd)  # (B, D)
-        mask = batch["hist_mask"]
-        # leakage control: hide the scored candidate from its own history
-        # (identical semantics to models/lstm.py)
-        mask = mask & (batch["hist_ids"] != batch["item_id"][:, None])
-        h = self._encode(dense, rows["hist"], rows["pos"], mask)
+        item = rows["item"].astype(cd)  # (2B or B, D)
+        b = batch.get("_pair_b")
+        if b is None:
+            # generic per-row batch: hide the scored candidate from its own
+            # history (identical semantics to models/lstm.py)
+            mask = batch["hist_mask"]
+            mask = mask & (batch["hist_ids"] != batch["item_id"][:, None])
+            h = self._encode(dense, rows["hist"], mask)
+        else:
+            # paired (pos|neg) side: one encoder pass per pair with the
+            # POSITIVE hidden; both halves score against that state (see
+            # models/lstm.py:score_rows for the semantics note)
+            mask = batch["hist_mask"][:b] & (
+                batch["hist_ids"][:b] != batch["item_id"][:b, None]
+            )
+            h_half = self._encode(dense, rows["hist"], mask)
+            h = jnp.concatenate([h_half, h_half])
         score = jnp.sum(h * item, axis=-1) + rows["item_bias"][:, 0].astype(cd)
         return score.astype(jnp.float32), state
 
@@ -187,11 +212,7 @@ class SASRecModel(RecModel):
         h_ids = jnp.take(feat["hist_ids"], user_ids, axis=0)
         h_mask = jnp.take(feat["hist_mask"], user_ids, axis=0)
         h_emb = jnp.take(params["tables"]["item"], h_ids, axis=0)
-        l = h_ids.shape[1]
-        pos = jnp.broadcast_to(
-            params["tables"]["position"][:l], (user_ids.shape[0], l, h_emb.shape[-1])
-        )
-        return self._encode(params["dense"], h_emb, pos, h_mask)
+        return self._encode(params["dense"], h_emb, h_mask)
 
     def linearized_catalog(self, params, feat):
         """Encode-once full-catalog predict; predict-time leakage semantics

@@ -188,7 +188,15 @@ class Trainer:
             "user_id": jnp.concatenate([user, user]),
             "item_id": jnp.concatenate([pos, neg]),
         }
-        return attach_features(side, feat)
+        side = attach_features(side, feat)
+        # Static pair size: both halves of this side describe the SAME B
+        # users (pos candidates first, then neg). Sequence models key on it
+        # to encode each pair's shared history ONCE instead of per half —
+        # halving their encoder compute and history gather/scatter traffic
+        # (models/lstm.py, models/sasrec.py). Plain per-row batches (the
+        # generic predict path) never carry it.
+        side["_pair_b"] = user.shape[0]
+        return side
 
     def train_step(
         self,
