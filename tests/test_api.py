@@ -567,3 +567,21 @@ def test_exclude_seen_on_mesh_uses_device_mask():
         seen = set(rs.store.train_items[rs.store.train_users == row].tolist())
         assert not (set(out[mesh is None][0].tolist()) & seen)
     np.testing.assert_array_equal(out[True], out[False])
+
+
+def test_exclude_seen_short_unseen_tail_fill():
+    """A user with fewer unseen items than top_k gets the tail filled with
+    their last unseen candidate (device-mask path edge, matching the
+    host-filter path's tiny-catalog behavior)."""
+    users = np.concatenate([np.zeros(8, np.int64), np.asarray([1, 1])])
+    items = np.concatenate([np.arange(8), np.asarray([0, 1])])  # user 0 sees 8/10
+    extra = {"user_id": np.asarray([2, 2]), "item_id": np.asarray([8, 9])}
+    data = {"user_id": np.concatenate([users, extra["user_id"]]),
+            "item_id": np.concatenate([items, extra["item_id"]])}
+    rs = RecSys(data, n_factors=4, net_type="linear", split_ratio=1.0)
+    rs.fit(epochs=1, batch_size=16, verbose=False)
+    out = rs.predict(0, top_k=5, return_raw_ids=False, exclude_seen=True)
+    # user 0 has exactly 2 unseen items (8, 9): first two entries are those,
+    # the tail repeats the last unseen candidate
+    assert set(out[:2].tolist()) == {8, 9}
+    assert (out[2:] == out[1]).all()

@@ -110,3 +110,45 @@ def test_fit_streaming_on_mesh_nondivisible_chunk():
     state = tr.init_state(jax.random.PRNGKey(1))
     _, losses = tr.fit_streaming(state, store, superbatch_size=271, epochs=1, verbose=False)
     assert np.isfinite(losses).all()
+
+
+def test_streaming_with_metadata_pallas_kernel():
+    """fit_streaming dispatches the same epoch program as resident fit —
+    including the metadata-bearing Pallas kernel (one superbatch covering
+    the split must reproduce the resident losses exactly)."""
+    import dataclasses
+
+    from torchrecsys_tpu.config import ModelConfig, TrainConfig
+    from torchrecsys_tpu.models import build_model
+    from torchrecsys_tpu.train import Trainer
+
+    r = np.random.default_rng(3)
+    n = 600
+    items = r.integers(0, 40, n)
+    data = {
+        "user_id": r.integers(0, 50, n),
+        "item_id": items,
+        "cat": np.asarray([int(i % 7) for i in items]),
+    }
+    store = prepare_data(data, "user_id", "item_id", metadata_id_col=["cat"],
+                         dynamic_neg_sampling=True)
+    cfg = TrainConfig(batch_size=96, learning_rate=0.05,
+                      dynamic_neg_sampling=True, seed=5, pallas_step=True)
+    model = build_model(store.schema, ModelConfig(net_type="linear", n_factors=16))
+
+    t_res = Trainer(model, cfg)
+    assert t_res._pallas_pairwise()
+    s_res = t_res.init_state(jax.random.PRNGKey(0))
+    s_res, l_res = t_res.fit(s_res, store, epochs=2, verbose=False)
+
+    t_str = Trainer(model, cfg)
+    s_str = t_str.init_state(jax.random.PRNGKey(0))
+    s_str, l_str = t_str.fit_streaming(
+        s_str, store, superbatch_size=store.num_train, epochs=2, verbose=False
+    )
+    np.testing.assert_allclose(l_str, l_res, rtol=1e-5, atol=1e-6)
+    for name in s_res["tables"]:
+        np.testing.assert_allclose(
+            np.asarray(s_str["tables"][name]), np.asarray(s_res["tables"][name]),
+            rtol=1e-5, atol=1e-6, err_msg=name,
+        )
