@@ -4,6 +4,11 @@ dataset with metadata, train an FM, evaluate, and get top-k recommendations.
 Run: python examples/quickstart.py  (CPU or TPU; auto-detected)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 
 from torchrecsys_tpu import RecSys
