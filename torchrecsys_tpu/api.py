@@ -147,6 +147,8 @@ class RecSys:
         loss: str = "hinge",
         embedding_optimizer: str = "rowwise_adagrad",
         lr_schedule: Any = None,
+        num_negatives: int = 1,
+        neg_sampling: str = "uniform",
         verbose: bool = True,
     ) -> List[float]:
         """Train; returns per-epoch mean losses.
@@ -157,6 +159,13 @@ class RecSys:
         updates (see train/optim.py) so any named optimizer works — unlike
         the reference, where the README's Adam crashes on sparse grads
         (SURVEY §2.9 #2).
+
+        Beyond-reference knobs: ``loss`` adds ``bpr``/``logistic`` plus the
+        K-negative ``adaptive_hinge`` and rank-weighted ``warp`` (LightFM's
+        headline loss — pair with ``num_negatives>=5``); ``num_negatives``
+        samples K negatives per positive in-step; ``neg_sampling=
+        'popularity'`` draws them ∝ train-frequency^0.75 (train/losses.py,
+        data/sampling.py).
 
         ``net_type='ease'`` has no gradient loop: fit() runs the closed-form
         solve on the train split (optimizer/epoch args are ignored) and
@@ -174,6 +183,8 @@ class RecSys:
             embedding_optimizer=embedding_optimizer,
             dynamic_neg_sampling=self.dynamic_neg_sampling,
             loss=loss,
+            num_negatives=num_negatives,
+            neg_sampling=neg_sampling,
             seed=self.seed,
             profile_epochs=profile_epochs,
         )
@@ -196,7 +207,8 @@ class RecSys:
 
         Reference: ``evaluate(batch_size, eval_metrics)`` computes only what
         is requested (model.py:292-338) with metrics ``loss``/``auc``. Here
-        additionally ``recall@K`` / ``precision@K`` / ``hit_rate@K`` (any K)
+        additionally ``recall@K`` / ``precision@K`` / ``hit_rate@K`` /
+        ``ndcg@K`` (any K)
         are accepted — computed per-user from chunked full-catalog top-k
         (eval/predict.py:ranking_eval; legacy reference analog
         helper/evaluate.py:53-106).
@@ -212,7 +224,7 @@ class RecSys:
         for m in eval_metrics:
             if "@" in m:
                 kind, _, k_str = m.partition("@")
-                if kind not in ("recall", "precision", "hit_rate") or not k_str.isdigit():
+                if kind not in ("recall", "precision", "hit_rate", "ndcg") or not k_str.isdigit():
                     raise ValueError(f"unknown eval metric {m!r}")
                 rank_ks.append(int(k_str))
             elif m not in ("loss", "auc"):
@@ -267,16 +279,11 @@ class RecSys:
             _, ids = jax.lax.top_k(scores, max_k)
             topk_parts.append(np.asarray(ids))
         topk = np.concatenate(topk_parts, axis=0)
-        member = topk[inv] == np.asarray(test_items)[:, None]
-        n_rows = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
-        out: Dict[str, float] = {}
-        for k in ks:
-            kk = min(k, num_items)
-            hit = member[:, :kk].any(axis=1)
-            hits = np.bincount(inv, weights=hit, minlength=len(uniq))
-            out[f"recall@{k}"] = float(np.mean(hits / n_rows))
-            out[f"precision@{k}"] = float(np.mean(hits / kk))
-            out[f"hit_rate@{k}"] = float(np.mean(hits > 0))
+        from torchrecsys_tpu.eval.predict import topk_ranking_metrics
+
+        out = topk_ranking_metrics(
+            topk, inv, np.asarray(test_items), len(uniq), ks, num_items
+        )
         return {m: out[m] for m in eval_metrics}
 
     # ------------------------------------------------------------------

@@ -138,7 +138,20 @@ class TrainConfig:
     dynamic_neg_sampling: bool = False
     avoid_collisions: bool = True  # guarantee neg != pos (dataset.py:440-445)
     margin: float = 1.0  # hinge margin (loss.py:7)
-    loss: str = "hinge"  # hinge | bpr | logistic
+    loss: str = "hinge"  # hinge | bpr | logistic | adaptive_hinge | warp
+    # Negatives sampled per positive, drawn IN-STEP (K > 1 ignores any
+    # stored static negatives — there is no stored K-column). The one-
+    # negative losses average over the K draws; ``adaptive_hinge`` takes the
+    # max-scoring draw and ``warp`` rank-weights the first violating draw
+    # (train/losses.py). K > 1 multiplies the item-side gather/score work by
+    # (1+K)/2 and takes the XLA step (the fused Pallas kernel is 1-negative).
+    num_negatives: int = 1
+    # "uniform" (reference contract, dataset.py:56-64/440-445) or
+    # "popularity": p(i) ∝ train-count(i)^popularity_alpha, sampled in-step
+    # by inverse-CDF searchsorted (data/sampling.py). Non-uniform sampling
+    # is always in-step (stored static negatives are uniform draws).
+    neg_sampling: str = "uniform"
+    popularity_alpha: float = 0.75
     seed: int = 0
     # False (default) = remainder rows train in a mask-padded final batch
     # (matching the reference's short final batch, dataset.py:414-433, while

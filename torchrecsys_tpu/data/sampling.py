@@ -60,3 +60,66 @@ def sample_negatives_np(
         r = rng.integers(0, num_items - 1, size=pos_items.shape, dtype=np.int32)
         return r + (r >= pos_items).astype(np.int32)
     return rng.integers(0, num_items, size=pos_items.shape, dtype=np.int32)
+
+
+def popularity_cdf(
+    train_items: np.ndarray, num_items: int, alpha: float = 0.75
+) -> np.ndarray:
+    """(num_items,) f32 sampling CDF over item frequency^alpha.
+
+    The word2vec-style smoothed-unigram negative distribution
+    ``p(i) ∝ count(i)^alpha`` (Mikolov et al. 2013), built host-side once
+    per store. ``alpha=0`` is uniform over OBSERVED items; never-interacted
+    items get count 0 and are never drawn (they carry no ranking signal to
+    push against). The CDF feeds :func:`sample_negatives_weighted`'s
+    device-side ``searchsorted`` — no alias-table build, no host RNG in the
+    step. No reference analog (uniform-only, dataset.py:56-64, 435-454).
+    """
+    counts = np.bincount(
+        np.asarray(train_items, np.int64), minlength=num_items
+    ).astype(np.float64)
+    w = counts**alpha
+    total = w.sum()
+    if total <= 0:
+        # degenerate empty split: fall back to uniform
+        w = np.ones(num_items, np.float64)
+        total = float(num_items)
+    return np.cumsum(w / total).astype(np.float32)
+
+
+def sample_negatives_weighted(
+    key: jax.Array,
+    pos_items: jax.Array,
+    cdf: jax.Array,
+    avoid_collisions: bool = True,
+) -> jax.Array:
+    """Draw negatives ~ the CDF's distribution, inside the jitted step.
+
+    Inverse-CDF sampling: ``u ~ U[0,1)``, ``searchsorted(cdf, u)`` — one
+    vectorized binary search over the device-resident (num_items,) CDF per
+    draw; XLA tiles it like any other gather-heavy op.
+
+    Collision handling: the uniform path's shift-past-the-positive trick
+    would distort a non-uniform distribution, and a rejection loop is
+    data-dependent control flow. Instead: one fresh redraw for colliding
+    rows, then a +1 (mod N) shift for the (p_pos^2-probability) residue.
+    The result is the weighted distribution excluding the positive up to
+    O(p_pos^2) per row — documented approximation, no loop under ``jit``.
+    """
+    shape = pos_items.shape
+    n = cdf.shape[0]
+
+    def draw(k):
+        u = jax.random.uniform(k, shape, dtype=jnp.float32)
+        idx = jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
+        # cdf[-1] can round below 1.0; clamp the u > cdf[-1] edge BEFORE
+        # collision handling so the clamp can't reintroduce a collision
+        return jnp.minimum(idx, n - 1)
+
+    k1, k2 = jax.random.split(key)
+    neg = draw(k1)
+    if avoid_collisions and n > 1:
+        redraw = draw(k2)
+        neg = jnp.where(neg == pos_items, redraw, neg)
+        neg = jnp.where(neg == pos_items, (neg + 1) % n, neg)
+    return neg

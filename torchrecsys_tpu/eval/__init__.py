@@ -4,7 +4,12 @@ from torchrecsys_tpu.eval.metrics import (
     precision_recall_at_k,
     recall_at_k,
 )
-from torchrecsys_tpu.eval.predict import catalog_topk, full_catalog_topk
+from torchrecsys_tpu.eval.predict import (
+    catalog_topk,
+    full_catalog_topk,
+    ranking_eval,
+    topk_ranking_metrics,
+)
 
 __all__ = [
     "pairwise_auc",
@@ -13,4 +18,6 @@ __all__ = [
     "precision_recall_at_k",
     "full_catalog_topk",
     "catalog_topk",
+    "ranking_eval",
+    "topk_ranking_metrics",
 ]

@@ -361,6 +361,9 @@ def ranking_eval(
     - ``precision@k``= mean over users of |top-k ∩ true| / k
     - ``hit_rate@k`` = fraction of users with >= 1 hit
       (Metrics.hit_rate semantics, evaluate/metrics.py:6-20)
+    - ``ndcg@k``     = mean over users of DCG@k / IDCG@k with binary gains
+      (1/log2(2+rank) per hit; IDCG = best attainable for that user's
+      test-row count). No reference analog — standard ranking metric.
 
     Items are NOT filtered by train-set membership, matching the reference.
 
@@ -383,16 +386,38 @@ def ranking_eval(
     topk = np.concatenate(topk_parts, axis=0)  # (n_uniq, max_k) desc
 
     # hit rank of each test row within its user's top list (max_k if missed)
-    member = topk[inv] == np.asarray(test_items)[:, None]  # (n_test, max_k)
-    n_rows_per_user = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
+    return topk_ranking_metrics(topk, inv, np.asarray(test_items), len(uniq), ks, num_items)
+
+
+def topk_ranking_metrics(
+    topk: np.ndarray,  # (n_uniq, max_k) item ids, descending score
+    inv: np.ndarray,  # (n_test,) test row -> uniq-user index
+    test_items: np.ndarray,  # (n_test,)
+    n_uniq: int,
+    ks: Tuple[int, ...],
+    num_items: int,
+) -> Dict[str, float]:
+    """Host-side per-user aggregation shared by :func:`ranking_eval` and the
+    EASE evaluator (api.py:_evaluate_ease) — see ranking_eval's docstring
+    for each metric's definition."""
+    member = topk[inv] == test_items[:, None]  # (n_test, max_k)
+    n_rows_per_user = np.bincount(inv, minlength=n_uniq).astype(np.float64)
+    disc = 1.0 / np.log2(np.arange(topk.shape[1]) + 2.0)  # DCG discounts
     out: Dict[str, float] = {}
     for k in ks:
         kk = min(k, num_items)
         hit_row = member[:, :kk].any(axis=1)  # test row found in user's top-k
-        hits_per_user = np.bincount(inv, weights=hit_row, minlength=len(uniq))
+        hits_per_user = np.bincount(inv, weights=hit_row, minlength=n_uniq)
         out[f"recall@{k}"] = float(np.mean(hits_per_user / n_rows_per_user))
         out[f"precision@{k}"] = float(np.mean(hits_per_user / kk))
         out[f"hit_rate@{k}"] = float(np.mean(hits_per_user > 0))
+        # binary-gain NDCG: each hit row contributes 1/log2(2+rank); the
+        # ideal ranking packs the user's test rows into the top positions
+        gain_row = (member[:, :kk] * disc[:kk]).sum(axis=1)
+        dcg = np.bincount(inv, weights=gain_row, minlength=n_uniq)
+        ideal_cum = np.concatenate([[0.0], np.cumsum(disc[:kk])])
+        idcg = ideal_cum[np.minimum(n_rows_per_user.astype(np.int64), kk)]
+        out[f"ndcg@{k}"] = float(np.mean(dcg / np.maximum(idcg, 1e-12)))
     return out
 
 

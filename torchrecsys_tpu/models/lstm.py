@@ -142,7 +142,9 @@ class LSTMModel(RecModel):
                 batch["hist_ids"][:b] != batch["item_id"][:b, None]
             )
             h_half = self._encode(dense, hist, mask)
-            h = jnp.concatenate([h_half, h_half])
+            # (1+K) candidate blocks per pair group (num_negatives=K): the
+            # one encoder pass serves every block
+            h = jnp.tile(h_half, (item.shape[0] // b, 1))
         score = jnp.sum(h * item, axis=-1) + rows["item_bias"][:, 0].astype(cd)
         return score.astype(jnp.float32), state
 

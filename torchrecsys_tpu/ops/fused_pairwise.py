@@ -1075,6 +1075,10 @@ def pairwise_kernel_applicable(model, cfg, mesh) -> bool:
         cfg.embedding_optimizer == "rowwise_adagrad"
         and cfg.fused_embedding_update
         and cfg.loss in SUPPORTED_LOSSES
+        # the kernel scores one (pos, neg) pair per row; K-negative configs
+        # take the XLA step (popularity SAMPLING still composes — the draw
+        # happens outside the kernel, trainer body_pl)
+        and getattr(cfg, "num_negatives", 1) == 1
         and model.param_dtype == jnp.float32
         and model.compute_dtype in (jnp.float32, jnp.bfloat16)
         and model.cfg.n_factors <= LANES - 4

@@ -130,8 +130,13 @@ def fit_streaming(
         from torchrecsys_tpu.parallel.sharding import batch_sharding
 
         sharding = batch_sharding(trainer.mesh)
+    arrays = store.train_arrays()
+    if trainer._in_step_negs:
+        # K-negative / non-uniform configs sample in-step; don't stream a
+        # column the step ignores (same rule as Trainer._device_train_data)
+        arrays = {k: v for k, v in arrays.items() if k != "neg_item_id"}
     stream = SuperBatchStream(
-        store.train_arrays(), superbatch_size, seed=seed, sharding=sharding
+        arrays, superbatch_size, seed=seed, sharding=sharding
     )
     losses: List[float] = []
     for epoch in range(epochs):

@@ -29,9 +29,9 @@ import numpy as np
 from torchrecsys_tpu.config import TrainConfig
 from torchrecsys_tpu.data.interactions import InteractionStore
 from torchrecsys_tpu.data.features import attach_features
-from torchrecsys_tpu.data.sampling import sample_negatives
+from torchrecsys_tpu.data.sampling import sample_negatives, sample_negatives_weighted
 from torchrecsys_tpu.models.base import Batch, RecModel
-from torchrecsys_tpu.train.losses import LOSS_REGISTRY, PER_ROW_LOSS_REGISTRY
+from torchrecsys_tpu.train.losses import get_loss, get_per_row_loss
 from torchrecsys_tpu.train.optim import (
     apply_embedding_updates,
     apply_embedding_updates_fused,
@@ -132,7 +132,18 @@ class Trainer:
                 "kernel defeats the sharded-batch path. Use the XLA tower "
                 "(pallas_tower=False) with meshes."
             )
-        self.loss_fn = LOSS_REGISTRY[cfg.loss]
+        if cfg.num_negatives < 1:
+            raise ValueError(f"num_negatives must be >= 1, got {cfg.num_negatives}")
+        if cfg.neg_sampling not in ("uniform", "popularity"):
+            raise ValueError(
+                f"neg_sampling must be 'uniform' or 'popularity', "
+                f"got {cfg.neg_sampling!r}"
+            )
+        self.loss_fn = get_loss(cfg.loss, model.schema.num_items)
+        self.per_row_fn = get_per_row_loss(cfg.loss, model.schema.num_items)
+        # K > 1 (no stored K-column) and non-uniform sampling (stored static
+        # negatives are uniform draws) both force in-step sampling
+        self._in_step_negs = cfg.num_negatives > 1 or cfg.neg_sampling != "uniform"
         self.lr_fn = make_lr_schedule(cfg.learning_rate, cfg.lr_schedule)
         self.dense_tx = make_dense_optimizer(
             cfg.dense_optimizer, cfg.learning_rate, schedule=self.lr_fn
@@ -167,6 +178,31 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------------
+    def _sample_negs(
+        self,
+        rng: jnp.ndarray,
+        step: jnp.ndarray,
+        pos: jnp.ndarray,
+        feat: Optional[Dict[str, jnp.ndarray]],
+        num: Optional[int] = None,
+    ) -> jnp.ndarray:
+        """In-step negative draw: (B,) for one negative, (K, B) for K > 1.
+
+        Uniform (reference contract) or popularity-weighted
+        (``TrainConfig.neg_sampling``; CDF rides ``feat['neg_cdf']`` —
+        data/sampling.py)."""
+        k = jax.random.fold_in(rng, step)
+        num = self.cfg.num_negatives if num is None else num
+        tgt = pos if num == 1 else jnp.broadcast_to(pos, (num,) + pos.shape)
+        if self.cfg.neg_sampling == "popularity":
+            return sample_negatives_weighted(
+                k, tgt, feat["neg_cdf"], self.cfg.avoid_collisions
+            )
+        return sample_negatives(
+            k, tgt, self.model.schema.num_items, self.cfg.avoid_collisions
+        )
+
+    # ------------------------------------------------------------------
     def _paired_side(
         self,
         user: jnp.ndarray,
@@ -183,10 +219,16 @@ class Trainer:
         gives both halves identical statistics, halves the kernel count, and
         merges the embedding gathers. Documented divergence from torch's
         two-call semantics.
+
+        ``neg`` may be (B,) or (K, B) (``num_negatives=K``): the side is
+        then (1+K)·B rows — positives first, then the K negative blocks in
+        draw order.
         """
+        negs = neg.reshape(-1)  # (K, B) row-major = draw-major blocks
+        reps = 1 + (neg.shape[0] if neg.ndim == 2 else 1)
         side: Batch = {
-            "user_id": jnp.concatenate([user, user]),
-            "item_id": jnp.concatenate([pos, neg]),
+            "user_id": jnp.tile(user, reps),
+            "item_id": jnp.concatenate([pos, negs]),
         }
         side = attach_features(side, feat)
         # Static pair size: both halves of this side describe the SAME B
@@ -269,14 +311,12 @@ class Trainer:
         user = batch["user_id"]
         pos = batch["pos_item_id"]
         b = pos.shape[0]
-        if "neg_item_id" in batch:
+        if "neg_item_id" in batch and not self._in_step_negs:
             neg = batch["neg_item_id"]  # static negatives (dataset.py:56-64)
         else:
-            k_neg = jax.random.fold_in(state["rng"], state["step"])
-            neg = sample_negatives(
-                k_neg, pos, model.schema.num_items, cfg.avoid_collisions
-            )
+            neg = self._sample_negs(state["rng"], state["step"], pos, feat)
         side = self._paired_side(user, pos, neg, feat)
+        reps = side["item_id"].shape[0] // b  # 1 + num negative blocks
 
         gmap = model.gathers(side)
         tables = state["tables"]
@@ -331,17 +371,18 @@ class Trainer:
 
         def loss_from(rows_, dense_):
             full = {
-                k: jnp.concatenate([v, v]) if k in halved else v
+                k: jnp.concatenate([v] * reps) if k in halved else v
                 for k, v in rows_.items()
             }
             scores, st = model.score_rows(
                 dense_, state["model_state"], full, side, train=True
             )
+            ns = scores[b:]
+            if reps > 2:  # K negative blocks -> (K, B) for the loss
+                ns = ns.reshape(reps - 1, b)
             if w is None:
-                return self.loss_fn(scores[:b], scores[b:], cfg.margin), st
-            per_row = PER_ROW_LOSS_REGISTRY[cfg.loss](
-                scores[:b], scores[b:], cfg.margin
-            )
+                return self.loss_fn(scores[:b], ns, cfg.margin), st
+            per_row = self.per_row_fn(scores[:b], ns, cfg.margin)
             return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0), st
 
         (loss, new_model_state), (g_rows, g_dense) = jax.value_and_grad(
@@ -548,13 +589,12 @@ class Trainer:
                 batch = self._apply_batch_order(batch)
                 w = batch.get("_w")
                 user, pos = batch["user_id"], batch["pos_item_id"]
-                if "neg_item_id" in batch:
+                if "neg_item_id" in batch and not self._in_step_negs:
                     neg = batch["neg_item_id"]
                 else:
-                    k_neg = jax.random.fold_in(st["rng"], st["step"])
-                    neg = sample_negatives(
-                        k_neg, pos, self.model.schema.num_items, cfg.avoid_collisions
-                    )
+                    # popularity sampling composes with the kernel: the draw
+                    # happens here, the kernel only consumes the (B,) ids
+                    neg = self._sample_negs(st["rng"], st["step"], pos, feat)
                 kw = dict(
                     d=d, margin=cfg.margin,
                     loss_kind=cfg.loss, sigmoid=self.model.pairwise_sigmoid,
@@ -708,9 +748,13 @@ class Trainer:
         # new store can silently reuse after the old one is collected.
         key = (store.token, store.num_train)
         if getattr(self, "_data_cache_key", None) != key:
-            self._data_cache = {
-                k: jnp.asarray(v) for k, v in store.train_arrays().items()
-            }
+            arrays = store.train_arrays()
+            if self._in_step_negs:
+                # stored static negatives are single uniform draws; K > 1 /
+                # non-uniform configs sample in-step — don't upload/shuffle
+                # a column the step ignores
+                arrays = {k: v for k, v in arrays.items() if k != "neg_item_id"}
+            self._data_cache = {k: jnp.asarray(v) for k, v in arrays.items()}
             self._data_cache_key = key
         return self._data_cache
 
@@ -736,6 +780,16 @@ class Trainer:
             ids, mask = store.user_history(self.model.cfg.history_len)
             feat["hist_ids"] = jnp.asarray(ids)
             feat["hist_mask"] = jnp.asarray(mask)
+        if self.cfg.neg_sampling == "popularity":
+            from torchrecsys_tpu.data.sampling import popularity_cdf
+
+            feat["neg_cdf"] = jnp.asarray(
+                popularity_cdf(
+                    store.train_items,
+                    self.model.schema.num_items,
+                    self.cfg.popularity_alpha,
+                )
+            )
         return feat
 
     # ------------------------------------------------------------------
@@ -754,20 +808,23 @@ class Trainer:
         Reference: TorchRecSys.evaluate (model.py:292-338) with
         Metrics.auc_score = mean(pos > neg) (evaluate/metrics.py:23-31)."""
         params = {"tables": state["tables"], "dense": state["dense"]}
-        per_row_loss = PER_ROW_LOSS_REGISTRY[self.cfg.loss]
+        per_row_loss = self.per_row_fn
 
         def body(carry, xs):
             batch, v = xs
             user, pos = batch["user_id"], batch["pos_item_id"]
             b = pos.shape[0]
-            if "neg_item_id" in batch:
+            if "neg_item_id" in batch and not self._in_step_negs:
                 neg = batch["neg_item_id"]
             else:
                 # dynamic mode: eval negatives re-drawn per call — seeded,
-                # unlike the reference's nondeterministic eval (model.py:303)
-                k = jax.random.fold_in(state["rng"], 0x5EED + carry["i"])
-                neg = sample_negatives(
-                    k, pos, self.model.schema.num_items, self.cfg.avoid_collisions
+                # unlike the reference's nondeterministic eval (model.py:303).
+                # ONE negative regardless of num_negatives: eval keeps the
+                # reference's 1-negative pairwise protocol (model.py:292-338)
+                # so AUC stays comparable across K; the sampling
+                # DISTRIBUTION follows the train config.
+                neg = self._sample_negs(
+                    state["rng"], 0x5EED + carry["i"], pos, feat, num=1
                 )
             side = self._paired_side(user, pos, neg, feat)
             scores, _ = self.model.score(
