@@ -49,6 +49,8 @@ def main() -> None:
         ("warp_k8", dict(loss="warp", num_negatives=8)),
         ("warp_k8_popularity", dict(loss="warp", num_negatives=8,
                                     neg_sampling="popularity")),
+        # in-batch softmax: 1023 logQ-corrected negatives per example
+        ("sampled_softmax", dict(loss="sampled_softmax")),
     ]
     for name, kw in configs:
         model = RecSys(

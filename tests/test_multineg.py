@@ -13,7 +13,12 @@ from tests.test_train import make_learnable_interactions
 from torchrecsys_tpu import RecSys
 from torchrecsys_tpu.config import ModelConfig, TrainConfig
 from torchrecsys_tpu.data import prepare_data
-from torchrecsys_tpu.data.sampling import popularity_cdf, sample_negatives_weighted
+from torchrecsys_tpu.data.sampling import (
+    alias_table,
+    popularity_cdf,
+    sample_negatives_alias,
+    sample_negatives_weighted,
+)
 from torchrecsys_tpu.models import build_model
 from torchrecsys_tpu.train import Trainer, get_loss, get_per_row_loss
 from torchrecsys_tpu.train.losses import (
@@ -138,6 +143,49 @@ class TestPopularitySampling:
         )
         assert not np.any(neg == np.asarray(pos))
         assert np.all((neg >= 0) & (neg < 4))
+
+    def test_alias_table_encodes_exact_distribution(self):
+        """Per-item mass in the alias table equals the target distribution
+        exactly: p(i) = (prob[i] + sum_{j: alias[j]=i} (1-prob[j])) / N."""
+        items = np.repeat(np.arange(8), np.arange(1, 9))
+        prob, alias, fb = alias_table(items, 8, alpha=1.0)
+        n = 8
+        mass = prob.astype(np.float64).copy()
+        np.add.at(mass, alias, 1.0 - prob.astype(np.float64))
+        np.testing.assert_allclose(mass / n, np.arange(1, 9) / 36.0, atol=1e-6)
+        assert fb[0] == 7 and fb[1] == 6  # most popular two
+
+    def test_alias_sampling_matches_cdf_distribution(self):
+        """The O(1)-per-draw alias path (the train step's) is distribution-
+        identical to the inverse-CDF reference implementation."""
+        items = np.repeat(np.arange(8), np.arange(1, 9))
+        prob, alias, fb = alias_table(items, 8, alpha=0.75)
+        pos = jnp.full((20000,), 7, jnp.int32)
+        neg = np.asarray(
+            sample_negatives_alias(
+                jax.random.PRNGKey(0), pos, jnp.asarray(prob),
+                jnp.asarray(alias), jnp.asarray(fb), avoid_collisions=False,
+            )
+        )
+        w = np.arange(1, 9.0) ** 0.75
+        expect = w / w.sum()
+        freq = np.bincount(neg, minlength=8) / len(neg)
+        np.testing.assert_allclose(freq, expect, atol=0.02)
+
+    def test_alias_avoid_collisions_and_zero_count(self):
+        items = np.repeat(np.arange(3), 5)  # item 3 never interacted
+        prob, alias, fb = alias_table(items, 4, alpha=0.75)
+        pos = jnp.asarray(np.random.default_rng(0).integers(0, 3, 5000), jnp.int32)
+        neg = np.asarray(
+            sample_negatives_alias(
+                jax.random.PRNGKey(1), pos, jnp.asarray(prob),
+                jnp.asarray(alias), jnp.asarray(fb), True,
+            )
+        )
+        assert not np.any(neg == np.asarray(pos))
+        # zero-mass item never drawn — including the double-collision
+        # residue, which escapes to the most popular item != pos
+        assert not np.any(neg == 3)
 
 
 class TestTrainerMultiNeg:

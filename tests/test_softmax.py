@@ -1,0 +1,250 @@
+"""In-batch sampled-softmax training (loss='sampled_softmax') — the modern
+two-tower retrieval objective, built MXU-first: the B-1 in-batch negatives
+come from ONE (B, D) x (D, B) matmul over the batch's factorized vectors
+(RecModel.pair_vectors), logQ-corrected and accidental-hit-masked. No
+reference analog (1-uniform-negative hinge only, helper/loss.py:5-8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import make_interactions
+from tests.test_train import make_learnable_interactions
+from torchrecsys_tpu import RecSys
+from torchrecsys_tpu.config import ModelConfig, TrainConfig
+from torchrecsys_tpu.data import prepare_data
+from torchrecsys_tpu.data.features import attach_features
+from torchrecsys_tpu.models import build_model
+from torchrecsys_tpu.train import Trainer
+from torchrecsys_tpu.train.trainer import _inbatch_softmax_rows
+
+
+def _store(metadata=False, n=2000):
+    data = make_interactions(n_users=50, n_items=40, n=n, metadata=metadata)
+    return prepare_data(
+        data, "user_id", "item_id",
+        metadata_id_col=["category_ids"] if metadata else None,
+        dynamic_neg_sampling=True,
+    )
+
+
+class TestFactorization:
+    """pair_vectors must factorize the model's own score: for a fixed user
+    row, score differences across candidate items equal the factorized
+    differences (row-constant terms — e.g. Linear's user bias — cancel)."""
+
+    @pytest.mark.parametrize(
+        "net,meta,kw",
+        [
+            ("linear", False, {}),
+            ("linear", True, {}),
+            ("fm", False, {"fm_sigmoid": False}),
+            ("fm", True, {"fm_sigmoid": False}),
+            ("lstm", False, {}),
+            ("sasrec", False, {}),
+        ],
+    )
+    def test_matches_score_rows(self, net, meta, kw):
+        store = _store(metadata=meta)
+        model = build_model(
+            store.schema, ModelConfig(net_type=net, n_factors=16, **kw)
+        )
+        params, state = model.init(jax.random.PRNGKey(0))
+        trainer = Trainer(
+            model, TrainConfig(loss="sampled_softmax", dynamic_neg_sampling=True)
+        )
+        feat = trainer.feature_tables(store)
+        b = 8
+        user = jnp.asarray(store.train_users[:b])
+        items_a = jnp.asarray(store.train_items[:b])
+        items_b = jnp.asarray(store.train_items[b : 2 * b])
+
+        def score(items):
+            side = attach_features({"user_id": user, "item_id": items}, feat)
+            s, _ = model.score(params, state, side, train=False)
+            return s
+
+        def fac(items):
+            side = attach_features({"user_id": user, "item_id": items}, feat)
+            rows = model.gather_rows(params["tables"], side)
+            h, v, vb, _ = model.pair_vectors(
+                params["dense"], state, rows, side, train=False
+            )
+            return (jnp.sum(h * v, axis=-1) + vb).astype(jnp.float32)
+
+        diff_score = np.asarray(score(items_a) - score(items_b))
+        diff_fac = np.asarray(fac(items_a) - fac(items_b))
+        np.testing.assert_allclose(diff_score, diff_fac, rtol=1e-4, atol=1e-5)
+
+
+class TestCeMath:
+    def test_hand_computed(self):
+        h = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+        v = jnp.asarray([[2.0, 0.0], [0.0, 3.0]])
+        vb = jnp.asarray([0.5, -0.5])
+        pos = jnp.asarray([0, 1], jnp.int32)
+        out = np.asarray(_inbatch_softmax_rows(h, v, vb, pos, None))
+        logits = np.asarray([[2.5, -0.5], [0.5, 2.5]])
+        expect = [
+            np.log(np.exp(logits[0]).sum()) - logits[0, 0],
+            np.log(np.exp(logits[1]).sum()) - logits[1, 1],
+        ]
+        np.testing.assert_allclose(out, expect, rtol=1e-6)
+
+    def test_logq_shifts_columns(self):
+        h = jnp.eye(2)
+        v = jnp.eye(2)
+        vb = jnp.zeros(2)
+        pos = jnp.asarray([0, 1], jnp.int32)
+        logq = jnp.asarray([np.log(0.9), np.log(0.1)], jnp.float32)
+        out = np.asarray(_inbatch_softmax_rows(h, v, vb, pos, logq))
+        logits = np.asarray([[1.0, 0.0], [0.0, 1.0]]) - np.log([0.9, 0.1])
+        expect = [
+            np.log(np.exp(logits[0]).sum()) - logits[0, 0],
+            np.log(np.exp(logits[1]).sum()) - logits[1, 1],
+        ]
+        np.testing.assert_allclose(out, expect, rtol=1e-6)
+
+    def test_duplicate_positives_masked(self):
+        """Two rows sharing one item: each row's copy of the OTHER row's
+        identical positive is masked, so its CE sees only its own label
+        column plus genuinely different candidates."""
+        h = jnp.ones((3, 2))
+        v = jnp.ones((3, 2))
+        vb = jnp.zeros(3)
+        pos = jnp.asarray([5, 5, 9], jnp.int32)  # rows 0,1 duplicate item 5
+        out = np.asarray(_inbatch_softmax_rows(h, v, vb, pos, None))
+        # all logits equal (2.0); rows 0/1 compete against {self, row 2}
+        # (the duplicate masked), row 2 against all three
+        np.testing.assert_allclose(out[0], np.log(2.0), rtol=1e-6)
+        np.testing.assert_allclose(out[1], np.log(2.0), rtol=1e-6)
+        np.testing.assert_allclose(out[2], np.log(3.0), rtol=1e-6)
+
+
+class TestTraining:
+    @pytest.mark.parametrize("net", ["linear", "sasrec"])
+    def test_learns(self, net):
+        data = make_learnable_interactions()
+        m = RecSys(data, "user_id", "item_id", net_type=net, n_factors=16,
+                   dynamic_neg_sampling=True)
+        losses = m.fit(
+            epochs=8, batch_size=256,
+            learning_rate=0.05 if net == "linear" else 0.01,
+            loss="sampled_softmax", verbose=False,
+        )
+        assert losses[-1] < losses[0]
+        ev = m.evaluate(eval_metrics=("loss", "auc"), verbose=False)
+        assert np.isfinite(ev["loss"])
+        assert ev["auc"] > 0.62, ev
+
+    def test_fm_no_sigmoid_with_metadata(self):
+        data = make_interactions(metadata=True)
+        m = RecSys(data, "user_id", "item_id", net_type="fm", n_factors=16,
+                   metadata_id_col=["category_ids"], fm_sigmoid=False,
+                   dynamic_neg_sampling=True)
+        losses = m.fit(epochs=2, batch_size=256, loss="sampled_softmax",
+                       verbose=False)
+        assert np.isfinite(losses).all()
+
+    def test_remainder_batch(self):
+        """n % batch_size != 0: filler rows are zero-weighted in the CE."""
+        store = _store(n=1000 + 37)
+        model = build_model(store.schema, ModelConfig(n_factors=8))
+        trainer = Trainer(
+            model,
+            TrainConfig(batch_size=256, loss="sampled_softmax",
+                        dynamic_neg_sampling=True),
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, losses = trainer.fit(state, store, epochs=2, verbose=False)
+        assert np.isfinite(losses).all()
+
+    def test_static_negative_store_trains(self):
+        """A store built with static negatives still trains — the unused
+        column is dropped (no explicit negatives under in-batch softmax)."""
+        data = make_interactions()
+        store = prepare_data(data, "user_id", "item_id", dynamic_neg_sampling=False)
+        model = build_model(store.schema, ModelConfig(n_factors=8))
+        trainer = Trainer(model, TrainConfig(batch_size=256, loss="sampled_softmax"))
+        assert "neg_item_id" not in trainer._device_train_data(store)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, losses = trainer.fit(state, store, epochs=1, verbose=False)
+        assert np.isfinite(losses).all()
+
+    def test_logq_off_changes_training(self):
+        store = _store()
+        outs = []
+        for logq in (True, False):
+            model = build_model(store.schema, ModelConfig(n_factors=8))
+            trainer = Trainer(
+                model,
+                TrainConfig(batch_size=256, loss="sampled_softmax",
+                            logq_correction=logq, dynamic_neg_sampling=True),
+            )
+            state = trainer.init_state(jax.random.PRNGKey(0))
+            state, losses = trainer.fit(state, store, epochs=1, verbose=False)
+            outs.append(losses[-1])
+        assert outs[0] != outs[1]
+
+
+class TestRefusals:
+    def _trainer(self, net="mlp", **cfg_kw):
+        store = _store()
+        model = build_model(store.schema, ModelConfig(net_type=net, n_factors=8,
+                                                      hidden_layers=(16,)))
+        return Trainer(model, TrainConfig(loss="sampled_softmax", **cfg_kw))
+
+    def test_mlp_and_neucf_refused(self):
+        with pytest.raises(ValueError, match="does not factorize"):
+            self._trainer("mlp")
+        with pytest.raises(ValueError, match="does not factorize"):
+            self._trainer("neucf")
+
+    def test_fm_sigmoid_refused(self):
+        with pytest.raises(ValueError, match="fm_sigmoid=False"):
+            self._trainer("fm")
+
+    def test_k_and_popularity_refused(self):
+        with pytest.raises(ValueError, match="num_negatives"):
+            self._trainer("linear", num_negatives=4)
+        with pytest.raises(ValueError, match="neg_sampling"):
+            self._trainer("linear", neg_sampling="popularity")
+
+    def test_kernel_not_applicable(self):
+        from torchrecsys_tpu.ops.fused_pairwise import pairwise_kernel_applicable
+
+        store = _store()
+        model = build_model(store.schema, ModelConfig(n_factors=16))
+        t = Trainer(model, TrainConfig(loss="sampled_softmax",
+                                       dynamic_neg_sampling=True))
+        assert not pairwise_kernel_applicable(t.model, t.cfg, None)
+
+
+class TestMeshParity:
+    def test_epoch_matches_unsharded(self):
+        """GSPMD shards the (B, B) logit matmul over 'data' (all-gathering
+        the item-side vectors) and the tables over 'model'; numbers must
+        match single-device exactly (global in-batch semantics)."""
+        from torchrecsys_tpu.parallel import make_mesh
+
+        data = make_learnable_interactions()
+        store = prepare_data(data, "user_id", "item_id", dynamic_neg_sampling=True)
+        cfg = TrainConfig(batch_size=256, learning_rate=0.05,
+                          dynamic_neg_sampling=True, loss="sampled_softmax",
+                          seed=7)
+
+        def run(mesh):
+            model = build_model(store.schema, ModelConfig(n_factors=16))
+            trainer = Trainer(model, cfg, mesh=mesh)
+            state = trainer.init_state(jax.random.PRNGKey(0))
+            state, losses = trainer.fit(state, store, epochs=2, verbose=False)
+            ev = trainer.evaluate(state, store, verbose=False)
+            return losses, ev["auc"], np.asarray(state["tables"]["item"])
+
+        ref_losses, ref_auc, ref_item = run(None)
+        mesh = make_mesh(jax.devices()[:8], model=2)
+        m_losses, m_auc, m_item = run(mesh)
+        np.testing.assert_allclose(m_losses, ref_losses, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(m_auc, ref_auc, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(m_item, ref_item, rtol=2e-4, atol=1e-5)

@@ -58,6 +58,7 @@ class RecSys:
         history_len: int = 20,
         seed: int = 0,
         ease_lam: float = 100.0,
+        fm_sigmoid: bool = True,
     ) -> None:
         del use_cuda
         self.debug = debug
@@ -84,6 +85,10 @@ class RecSys:
             use_batch_norm=use_batch_norm,
             compute_dtype="bfloat16" if use_amp else "float32",
             history_len=history_len,
+            # reference score-parity quirk (fm.py:99); turn off for
+            # loss='sampled_softmax' (its softmax saturates over
+            # sigmoid-squashed scores) or for unbounded FM scores
+            fm_sigmoid=fm_sigmoid,
         )
         self.ease = None
         if net_type == "ease":

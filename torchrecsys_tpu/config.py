@@ -138,7 +138,19 @@ class TrainConfig:
     dynamic_neg_sampling: bool = False
     avoid_collisions: bool = True  # guarantee neg != pos (dataset.py:440-445)
     margin: float = 1.0  # hinge margin (loss.py:7)
-    loss: str = "hinge"  # hinge | bpr | logistic | adaptive_hinge | warp
+    # hinge | bpr | logistic | adaptive_hinge | warp | sampled_softmax.
+    # "sampled_softmax" trains with IN-BATCH negatives: the (B, B) logit
+    # matrix is one MXU matmul over the batch's factorized user/item
+    # vectors (RecModel.pair_vectors) — every other row's positive serves
+    # as a negative at zero extra gather cost; logQ-corrected
+    # (`logq_correction`), accidental duplicates masked. Factorizable
+    # models only (linear, fm with fm_sigmoid=False, lstm, sasrec).
+    loss: str = "hinge"
+    # Subtract log q(item) from sampled_softmax logits, q = the item's
+    # train-split frequency (the in-batch negative distribution), so the
+    # learned scores estimate the popularity-debiased conditional — the
+    # standard correction (Bengio & Senecal 2008; YouTube retrieval).
+    logq_correction: bool = True
     # Negatives sampled per positive, drawn IN-STEP (K > 1 ignores any
     # stored static negatives — there is no stored K-column). The one-
     # negative losses average over the K draws; ``adaptive_hinge`` takes the

@@ -166,6 +166,32 @@ class RecModel(abc.ABC):
     # True on models whose linearized_catalog returns a factorization
     supports_linearized_catalog: bool = False
 
+    # True on models implementing pair_vectors (in-batch sampled-softmax
+    # training, train/trainer.py)
+    supports_sampled_softmax: bool = False
+
+    def pair_vectors(
+        self,
+        dense: Any,
+        state: State,
+        rows: Dict[str, jnp.ndarray],
+        batch: Batch,
+        train: bool,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, State]:
+        """Per-row factorization of the TRAIN-time score for in-batch
+        sampled-softmax: ``(user_vecs (B, D), item_vecs (B, D), item_bias
+        (B,), state)`` such that ``score(row i vs row j's item) =
+        user_vecs[i] · item_vecs[j] + item_bias[j]`` up to a ROW-constant
+        term (row constants are softmax-invariant and deliberately
+        dropped — e.g. Linear's user bias receives no gradient under this
+        loss). The trainer builds the (B, B) logit matrix with ONE matmul
+        on the MXU — the B-1 in-batch negatives cost no extra gathers.
+        Models whose score does not factorize (MLP's joint tower, NeuCF)
+        leave ``supports_sampled_softmax`` False and the trainer refuses
+        loudly at construction.
+        """
+        raise NotImplementedError
+
     def linearized_catalog(self, params: Params, feat):
         """Optional dot-product factorization of the scoring function.
 

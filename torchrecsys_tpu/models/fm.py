@@ -106,6 +106,37 @@ class FMModel(RecModel):
             score = jax.nn.sigmoid(score)  # fm.py:99
         return score.astype(jnp.float32), state
 
+    supports_sampled_softmax = True
+
+    def pair_vectors(self, dense, state, rows, batch, train):
+        """Same collapse as linearized_catalog: with item-side composite
+        ``q_j = v_item + Σ v_meta``, score(i, j) = u_i · q_j +
+        [0.5(|q_j|² − |v_item|² − Σ|v_meta|²) + w_item_j + Σ w_meta_j]
+        (+ w_user_i, row-constant — dropped). Refused under the reference's
+        sigmoid quirk: softmax over (0,1)-squashed scores saturates its
+        gradients — set ``ModelConfig.fm_sigmoid=False``."""
+        if self.cfg.fm_sigmoid:
+            raise ValueError(
+                "loss='sampled_softmax' with net_type='fm' requires "
+                "ModelConfig.fm_sigmoid=False (softmax over "
+                "sigmoid-squashed scores saturates; the sigmoid exists "
+                "only for reference score parity, fm.py:99)"
+            )
+        cd = self.compute_dtype
+        u = rows["user"].astype(cd)
+        i = rows["item"].astype(cd)
+        q = i
+        sq_sum = jnp.sum(i * i, axis=-1)
+        vb = rows["linear_item"][:, 0].astype(cd)
+        for f, fname in enumerate(self.schema.metadata_names[: self._meta_features(batch)]):
+            mask = batch["meta_mask"][:, f, :]
+            msum = masked_sum(rows[f"meta:{fname}"].astype(cd), mask)
+            q = q + msum
+            sq_sum = sq_sum + jnp.sum(msum * msum, axis=-1)
+            vb = vb + masked_sum(rows[f"linear_meta:{fname}"].astype(cd), mask)[:, 0]
+        vb = vb + 0.5 * (jnp.sum(q * q, axis=-1) - sq_sum)
+        return u, q, vb, state
+
     def linearized_catalog(self, params, feat):
         """FM's pairwise term collapses to a dot product per (user, item):
 

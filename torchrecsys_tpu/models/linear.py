@@ -88,6 +88,20 @@ class LinearModel(RecModel):
         score = dot + rows["user_bias"][:, 0].astype(cd) + rows["item_bias"][:, 0].astype(cd)
         return score.astype(jnp.float32), state
 
+    supports_sampled_softmax = True
+
+    def pair_vectors(self, dense, state, rows, batch, train):
+        """score(i, j) = u_i · (item_j + Σ meta_j) + b_item_j (+ b_user_i,
+        row-constant — softmax-invariant, dropped; the user-bias table gets
+        no gradient under sampled_softmax)."""
+        cd = self.compute_dtype
+        u = rows["user"].astype(cd)
+        i = rows["item"].astype(cd)
+        for f, fname in enumerate(self.schema.metadata_names[: self._meta_features(batch)]):
+            m = rows[f"meta:{fname}"].astype(cd)
+            i = i + masked_sum(m, batch["meta_mask"][:, f, :])
+        return u, i, rows["item_bias"][:, 0].astype(cd), state
+
     def linearized_catalog(self, params, feat):
         """score = <u, i + Σ_f m_f> + b_i + b_u — exactly linear.py:78,
         factored for the fused score+top-k kernel. With ``use_amp`` (bf16

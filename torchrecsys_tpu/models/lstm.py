@@ -148,6 +148,18 @@ class LSTMModel(RecModel):
         score = jnp.sum(h * item, axis=-1) + rows["item_bias"][:, 0].astype(cd)
         return score.astype(jnp.float32), state
 
+    supports_sampled_softmax = True
+
+    def pair_vectors(self, dense, state, rows, batch, train):
+        """score(i, j) = h_i · item_j + b_item_j with h the masked-history
+        encoding (own positive hidden, the generic-batch leakage rule)."""
+        cd = self.compute_dtype
+        mask = batch["hist_mask"] & (
+            batch["hist_ids"] != batch["item_id"][:, None]
+        )
+        h = self._encode(dense, rows["hist"], mask)
+        return h, rows["item"].astype(cd), rows["item_bias"][:, 0].astype(cd), state
+
     def encode_users(
         self, params, feat, user_ids: jnp.ndarray
     ) -> jnp.ndarray:

@@ -209,6 +209,17 @@ class SASRecModel(RecModel):
         score = jnp.sum(h * item, axis=-1) + rows["item_bias"][:, 0].astype(cd)
         return score.astype(jnp.float32), state
 
+    supports_sampled_softmax = True
+
+    def pair_vectors(self, dense, state, rows, batch, train):
+        """score(i, j) = h_i · item_j + b_item_j (see models/lstm.py)."""
+        cd = self.compute_dtype
+        mask = batch["hist_mask"] & (
+            batch["hist_ids"] != batch["item_id"][:, None]
+        )
+        h = self._encode(dense, rows["hist"], mask)
+        return h, rows["item"].astype(cd), rows["item_bias"][:, 0].astype(cd), state
+
     def encode_users(self, params, feat, user_ids: jnp.ndarray) -> jnp.ndarray:
         """(U,) user rows -> (U, D) encodings, one attention pass per user."""
         h_ids = jnp.take(feat["hist_ids"], user_ids, axis=0)

@@ -29,7 +29,7 @@ import numpy as np
 from torchrecsys_tpu.config import TrainConfig
 from torchrecsys_tpu.data.interactions import InteractionStore
 from torchrecsys_tpu.data.features import attach_features
-from torchrecsys_tpu.data.sampling import sample_negatives, sample_negatives_weighted
+from torchrecsys_tpu.data.sampling import sample_negatives, sample_negatives_alias
 from torchrecsys_tpu.models.base import Batch, RecModel
 from torchrecsys_tpu.train.losses import get_loss, get_per_row_loss
 from torchrecsys_tpu.train.optim import (
@@ -104,6 +104,41 @@ def grow_state(
     )
 
 
+def _inbatch_softmax_rows(
+    h: jnp.ndarray,  # (B, D) user-side vectors
+    v: jnp.ndarray,  # (B, D) item-side vectors
+    vb: jnp.ndarray,  # (B,) item-side bias
+    pos: jnp.ndarray,  # (B,) positive item rows (for dup mask + logQ)
+    logq: Optional[jnp.ndarray],  # (num_items,) log train frequency, or None
+) -> jnp.ndarray:
+    """(B,) per-row in-batch sampled-softmax cross-entropy.
+
+    One ``h @ v.T`` matmul (MXU; compute dtype of the vectors) builds every
+    row's logits over the batch's B candidate items; the diagonal is the
+    label. Corrections:
+
+    - **logQ** (Bengio & Senecal 2008): subtract ``log q(candidate)`` with
+      q = train-split frequency — exactly the in-batch negative
+      distribution — so the learned scores estimate the popularity-debiased
+      conditional (every candidate corrected, the label column included,
+      as in TF-Recommenders' retrieval task).
+    - **Accidental hits**: a candidate equal to the row's own positive
+      (duplicate items in the batch) is masked to -inf off-diagonal.
+      Mask-padded remainder rows (duplicated real rows) are likewise
+      neutralized by this mask wherever they duplicate a row's positive;
+      as generic negatives they mildly re-weight that final short batch —
+      the documented analog of the reference's short-batch statistics.
+    """
+    logits = (h @ v.T).astype(jnp.float32) + vb.astype(jnp.float32)[None, :]
+    if logq is not None:
+        logits = logits - jnp.take(logq, pos)[None, :]
+    b = pos.shape[0]
+    dup = (pos[None, :] == pos[:, None]) & ~jnp.eye(b, dtype=bool)
+    logits = jnp.where(dup, -jnp.inf, logits)
+    label = jnp.diagonal(logits)
+    return jax.nn.logsumexp(logits, axis=1) - label
+
+
 class Trainer:
     """Owns the jitted step/epoch functions for one model + config."""
 
@@ -139,11 +174,43 @@ class Trainer:
                 f"neg_sampling must be 'uniform' or 'popularity', "
                 f"got {cfg.neg_sampling!r}"
             )
-        self.loss_fn = get_loss(cfg.loss, model.schema.num_items)
-        self.per_row_fn = get_per_row_loss(cfg.loss, model.schema.num_items)
-        # K > 1 (no stored K-column) and non-uniform sampling (stored static
-        # negatives are uniform draws) both force in-step sampling
-        self._in_step_negs = cfg.num_negatives > 1 or cfg.neg_sampling != "uniform"
+        self._softmax = cfg.loss == "sampled_softmax"
+        if self._softmax:
+            if not getattr(model, "supports_sampled_softmax", False):
+                raise ValueError(
+                    f"loss='sampled_softmax' needs a factorizable score "
+                    f"(RecModel.pair_vectors); net_type={model.name!r} does "
+                    f"not factorize — use linear/fm/lstm/sasrec"
+                )
+            if getattr(model, "pairwise_sigmoid", False):
+                raise ValueError(
+                    "loss='sampled_softmax' with net_type='fm' requires "
+                    "ModelConfig.fm_sigmoid=False (softmax over sigmoid-"
+                    "squashed scores saturates; the sigmoid exists only "
+                    "for reference score parity, fm.py:99)"
+                )
+            if cfg.num_negatives != 1:
+                raise ValueError(
+                    "sampled_softmax uses the batch itself as negatives; "
+                    "num_negatives must stay 1 (batch_size controls the "
+                    "negative count)"
+                )
+            if cfg.neg_sampling != "uniform":
+                raise ValueError(
+                    "neg_sampling is ignored under sampled_softmax (the "
+                    "in-batch negative distribution IS the train popularity "
+                    "distribution, logQ-corrected); leave it 'uniform'"
+                )
+            self.loss_fn = self.per_row_fn = None
+        else:
+            self.loss_fn = get_loss(cfg.loss, model.schema.num_items)
+            self.per_row_fn = get_per_row_loss(cfg.loss, model.schema.num_items)
+        # K > 1 (no stored K-column), non-uniform sampling (stored static
+        # negatives are uniform draws) and in-batch softmax (no explicit
+        # negatives at all) each drop the stored static-negative column
+        self._in_step_negs = (
+            cfg.num_negatives > 1 or cfg.neg_sampling != "uniform" or self._softmax
+        )
         self.lr_fn = make_lr_schedule(cfg.learning_rate, cfg.lr_schedule)
         self.dense_tx = make_dense_optimizer(
             cfg.dense_optimizer, cfg.learning_rate, schedule=self.lr_fn
@@ -189,14 +256,15 @@ class Trainer:
         """In-step negative draw: (B,) for one negative, (K, B) for K > 1.
 
         Uniform (reference contract) or popularity-weighted
-        (``TrainConfig.neg_sampling``; CDF rides ``feat['neg_cdf']`` —
-        data/sampling.py)."""
+        (``TrainConfig.neg_sampling``; Walker alias tables ride
+        ``feat['neg_prob']``/``feat['neg_alias']`` — data/sampling.py)."""
         k = jax.random.fold_in(rng, step)
         num = self.cfg.num_negatives if num is None else num
         tgt = pos if num == 1 else jnp.broadcast_to(pos, (num,) + pos.shape)
         if self.cfg.neg_sampling == "popularity":
-            return sample_negatives_weighted(
-                k, tgt, feat["neg_cdf"], self.cfg.avoid_collisions
+            return sample_negatives_alias(
+                k, tgt, feat["neg_prob"], feat["neg_alias"], feat["neg_fb"],
+                self.cfg.avoid_collisions,
             )
         return sample_negatives(
             k, tgt, self.model.schema.num_items, self.cfg.avoid_collisions
@@ -311,11 +379,18 @@ class Trainer:
         user = batch["user_id"]
         pos = batch["pos_item_id"]
         b = pos.shape[0]
-        if "neg_item_id" in batch and not self._in_step_negs:
-            neg = batch["neg_item_id"]  # static negatives (dataset.py:56-64)
+        if self._softmax:
+            # in-batch sampled softmax: no explicit negatives — the (B, B)
+            # logit matrix over the batch's own positives IS the negative
+            # set (one MXU matmul, RecModel.pair_vectors)
+            side: Batch = {"user_id": user, "item_id": pos}
+            side = attach_features(side, feat)
         else:
-            neg = self._sample_negs(state["rng"], state["step"], pos, feat)
-        side = self._paired_side(user, pos, neg, feat)
+            if "neg_item_id" in batch and not self._in_step_negs:
+                neg = batch["neg_item_id"]  # static negatives (dataset.py:56-64)
+            else:
+                neg = self._sample_negs(state["rng"], state["step"], pos, feat)
+            side = self._paired_side(user, pos, neg, feat)
         reps = side["item_id"].shape[0] // b  # 1 + num negative blocks
 
         gmap = model.gathers(side)
@@ -374,15 +449,25 @@ class Trainer:
                 k: jnp.concatenate([v] * reps) if k in halved else v
                 for k, v in rows_.items()
             }
-            scores, st = model.score_rows(
-                dense_, state["model_state"], full, side, train=True
-            )
-            ns = scores[b:]
-            if reps > 2:  # K negative blocks -> (K, B) for the loss
-                ns = ns.reshape(reps - 1, b)
+            if self._softmax:
+                h, vv, vb, st = model.pair_vectors(
+                    dense_, state["model_state"], full, side, train=True
+                )
+                per_row = _inbatch_softmax_rows(
+                    h, vv, vb, pos, feat.get("logq") if feat else None
+                )
+            else:
+                scores, st = model.score_rows(
+                    dense_, state["model_state"], full, side, train=True
+                )
+                ns = scores[b:]
+                if reps > 2:  # K negative blocks -> (K, B) for the loss
+                    ns = ns.reshape(reps - 1, b)
+                if w is None:
+                    return self.loss_fn(scores[:b], ns, cfg.margin), st
+                per_row = self.per_row_fn(scores[:b], ns, cfg.margin)
             if w is None:
-                return self.loss_fn(scores[:b], ns, cfg.margin), st
-            per_row = self.per_row_fn(scores[:b], ns, cfg.margin)
+                return jnp.mean(per_row), st
             return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0), st
 
         (loss, new_model_state), (g_rows, g_dense) = jax.value_and_grad(
@@ -781,14 +866,26 @@ class Trainer:
             feat["hist_ids"] = jnp.asarray(ids)
             feat["hist_mask"] = jnp.asarray(mask)
         if self.cfg.neg_sampling == "popularity":
-            from torchrecsys_tpu.data.sampling import popularity_cdf
+            from torchrecsys_tpu.data.sampling import alias_table
 
-            feat["neg_cdf"] = jnp.asarray(
-                popularity_cdf(
-                    store.train_items,
-                    self.model.schema.num_items,
-                    self.cfg.popularity_alpha,
-                )
+            prob, alias, fb = alias_table(
+                store.train_items,
+                self.model.schema.num_items,
+                self.cfg.popularity_alpha,
+            )
+            feat["neg_prob"] = jnp.asarray(prob)
+            feat["neg_alias"] = jnp.asarray(alias)
+            feat["neg_fb"] = jnp.asarray(fb)
+        if self._softmax and self.cfg.logq_correction:
+            counts = np.bincount(
+                np.asarray(store.train_items, np.int64),
+                minlength=self.model.schema.num_items,
+            ).astype(np.float64)
+            q = counts / max(counts.sum(), 1.0)
+            # zero-count items never appear as in-batch candidates; the
+            # floor only keeps log finite for them
+            feat["logq"] = jnp.asarray(
+                np.log(np.maximum(q, 1e-12)), jnp.float32
             )
         return feat
 
@@ -814,28 +911,58 @@ class Trainer:
             batch, v = xs
             user, pos = batch["user_id"], batch["pos_item_id"]
             b = pos.shape[0]
-            if "neg_item_id" in batch and not self._in_step_negs:
-                neg = batch["neg_item_id"]
-            else:
-                # dynamic mode: eval negatives re-drawn per call — seeded,
-                # unlike the reference's nondeterministic eval (model.py:303).
-                # ONE negative regardless of num_negatives: eval keeps the
-                # reference's 1-negative pairwise protocol (model.py:292-338)
-                # so AUC stays comparable across K; the sampling
-                # DISTRIBUTION follows the train config.
+            if self._softmax:
+                # loss = the train objective (in-batch logQ-corrected CE);
+                # AUC = the reference's 1-uniform-negative pairwise
+                # protocol on the factorized scores (the item side is
+                # re-derived for the sampled negatives; the user-side
+                # encoding h is shared)
+                side_p: Batch = {"user_id": user, "item_id": pos}
+                side_p = attach_features(side_p, feat)
+                rows_p = self.model.gather_rows(params["tables"], side_p)
+                h, vp, vbp, _ = self.model.pair_vectors(
+                    params["dense"], state["model_state"], rows_p, side_p,
+                    train=False,
+                )
+                loss_rows = _inbatch_softmax_rows(
+                    h, vp, vbp, pos, feat.get("logq") if feat else None
+                )
                 neg = self._sample_negs(
                     state["rng"], 0x5EED + carry["i"], pos, feat, num=1
                 )
-            side = self._paired_side(user, pos, neg, feat)
-            scores, _ = self.model.score(
-                params, state["model_state"], side, train=False
-            )
-            ps, ns = scores[:b], scores[b:]
+                side_n: Batch = {"user_id": user, "item_id": neg}
+                side_n = attach_features(side_n, feat)
+                rows_n = self.model.gather_rows(params["tables"], side_n)
+                _, vn, vbn, _ = self.model.pair_vectors(
+                    params["dense"], state["model_state"], rows_n, side_n,
+                    train=False,
+                )
+                ps = (jnp.sum(h * vp, axis=-1) + vbp).astype(jnp.float32)
+                ns = (jnp.sum(h * vn, axis=-1) + vbn).astype(jnp.float32)
+            else:
+                if "neg_item_id" in batch and not self._in_step_negs:
+                    neg = batch["neg_item_id"]
+                else:
+                    # dynamic mode: eval negatives re-drawn per call — seeded,
+                    # unlike the reference's nondeterministic eval (model.py:303).
+                    # ONE negative regardless of num_negatives: eval keeps the
+                    # reference's 1-negative pairwise protocol (model.py:292-338)
+                    # so AUC stays comparable across K; the sampling
+                    # DISTRIBUTION follows the train config.
+                    neg = self._sample_negs(
+                        state["rng"], 0x5EED + carry["i"], pos, feat, num=1
+                    )
+                side = self._paired_side(user, pos, neg, feat)
+                scores, _ = self.model.score(
+                    params, state["model_state"], side, train=False
+                )
+                ps, ns = scores[:b], scores[b:]
+                loss_rows = per_row_loss(ps, ns, self.cfg.margin)
             w = v.astype(jnp.float32)
             new = {
                 "i": carry["i"] + 1,
                 "n": carry["n"] + jnp.sum(w),
-                "loss": carry["loss"] + jnp.sum(per_row_loss(ps, ns, self.cfg.margin) * w),
+                "loss": carry["loss"] + jnp.sum(loss_rows * w),
                 "auc": carry["auc"] + jnp.sum((ps > ns).astype(jnp.float32) * w),
             }
             return new, None
