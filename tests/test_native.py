@@ -98,3 +98,44 @@ def test_string_ids_end_to_end():
     rs.fit(epochs=1, batch_size=256, verbose=False)
     top = rs.predict(user_id="u3", top_k=5)
     assert all(t.startswith("i") for t in top.tolist())
+
+
+def test_alias_build_matches_python_loop():
+    """C++ Vose (trs_alias_build) encodes the same per-item mass as the
+    Python loop fallback (the PAIRINGS may differ — stack orders differ —
+    but the distribution both tables encode must be identical)."""
+    from torchrecsys_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    r = np.random.default_rng(3)
+    n = 257
+    counts = r.integers(0, 50, n).astype(np.float64)
+    counts[5] = 0.0  # a zero-mass item
+    w = counts**0.75
+    scaled = w / w.sum() * n
+
+    prob_c, alias_c = native.alias_build(scaled.copy())
+
+    prob = np.ones(n, np.float64)
+    alias = np.arange(n, dtype=np.int64)
+    sc = scaled.copy()
+    small = [i for i in range(n) if sc[i] < 1.0]
+    large = [i for i in range(n) if sc[i] >= 1.0]
+    while small and large:
+        s, l = small.pop(), large.pop()
+        prob[s] = sc[s]
+        alias[s] = l
+        sc[l] -= 1.0 - sc[s]
+        (small if sc[l] < 1.0 else large).append(l)
+
+    def mass(p, a):
+        m = p.astype(np.float64).copy()
+        np.add.at(m, a, 1.0 - p.astype(np.float64))
+        return m / n
+
+    np.testing.assert_allclose(mass(prob_c, alias_c), mass(prob, alias), atol=1e-6)
+    np.testing.assert_allclose(mass(prob_c, alias_c), w / w.sum(), atol=1e-6)
+    assert mass(prob_c, alias_c)[5] < 1e-12

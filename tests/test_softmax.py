@@ -248,3 +248,24 @@ class TestMeshParity:
         np.testing.assert_allclose(m_losses, ref_losses, rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(m_auc, ref_auc, rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(m_item, ref_item, rtol=2e-4, atol=1e-5)
+
+
+class TestStreaming:
+    def test_streaming_matches_resident(self):
+        """One whole-split super-batch: the streamed softmax epoch IS the
+        resident epoch (stored-negative drop included)."""
+        data = make_learnable_interactions()
+        store = prepare_data(data, "user_id", "item_id", dynamic_neg_sampling=False)
+        cfg = TrainConfig(batch_size=256, learning_rate=0.05,
+                          loss="sampled_softmax", seed=3)
+        model_s = build_model(store.schema, ModelConfig(n_factors=16))
+        t_s = Trainer(model_s, cfg)
+        st_s = t_s.init_state(jax.random.PRNGKey(0))
+        _, stream_losses = t_s.fit_streaming(
+            st_s, store, superbatch_size=store.num_train, epochs=2, verbose=False
+        )
+        model_r = build_model(store.schema, ModelConfig(n_factors=16))
+        t_r = Trainer(model_r, cfg)
+        st_r = t_r.init_state(jax.random.PRNGKey(0))
+        _, res_losses = t_r.fit(st_r, store, epochs=2, verbose=False)
+        np.testing.assert_allclose(stream_losses, res_losses, rtol=1e-5, atol=1e-6)

@@ -115,6 +115,15 @@ def alias_table(
         w = np.ones(num_items, np.float64)
         total = float(num_items)
     scaled = w / total * num_items  # mean 1.0
+    if num_items >= 2:
+        top2 = np.argsort(-w, kind="stable")[:2].astype(np.int32)
+    else:
+        top2 = np.zeros(2, np.int32)
+    from torchrecsys_tpu import native
+
+    built = native.alias_build(scaled)
+    if built is not None:  # C++ Vose (native/ingest.cpp) — ~20x the loop
+        return built[0], built[1], top2
     prob = np.ones(num_items, np.float64)
     alias = np.arange(num_items, dtype=np.int64)
     small = [i for i in range(num_items) if scaled[i] < 1.0]
@@ -126,10 +135,6 @@ def alias_table(
         scaled[l] -= 1.0 - scaled[s]
         (small if scaled[l] < 1.0 else large).append(l)
     # numerical leftovers keep prob 1.0 / self-alias
-    if num_items >= 2:
-        top2 = np.argsort(-w, kind="stable")[:2].astype(np.int32)
-    else:
-        top2 = np.zeros(2, np.int32)
     return prob.astype(np.float32), alias.astype(np.int32), top2
 
 

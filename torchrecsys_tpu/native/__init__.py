@@ -61,6 +61,14 @@ def _load() -> Optional[ctypes.CDLL]:
             fn = getattr(lib, name)
             fn.restype = i64
             fn.argtypes = [ctypes.c_void_p, i64, i64, i32p, i64, i64p]
+        fn = lib.trs_alias_build
+        fn.restype = i64
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            i64,
+            ctypes.POINTER(ctypes.c_float),
+            i32p,
+        ]
         _lib = lib
         return _lib
 
@@ -94,6 +102,25 @@ def encode_strings(arr: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         first.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return codes, first[:vocab]
+
+
+def alias_build(scaled: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Walker/Vose alias table from a mean-1-scaled distribution (f64 (N,))
+    -> (prob f32 (N,), alias int32 (N,)). None if native unavailable."""
+    lib = _load()
+    if lib is None or scaled.ndim != 1:
+        return None
+    scaled = np.ascontiguousarray(scaled, np.float64)
+    n = scaled.shape[0]
+    prob = np.empty(n, np.float32)
+    alias = np.empty(n, np.int32)
+    lib.trs_alias_build(
+        scaled.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+        prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return prob, alias
 
 
 def parse_int_lists(arr: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
