@@ -585,3 +585,42 @@ def test_exclude_seen_short_unseen_tail_fill():
     # the tail repeats the last unseen candidate
     assert set(out[:2].tolist()) == {8, 9}
     assert (out[2:] == out[1]).all()
+
+
+def test_cold_load_keeps_dataset_columns(tmp_path):
+    """A cold-loaded model remembers the ORIGINAL column names and split
+    config, so partial_fit/update_data works without re-specifying them
+    (round-5 regression: they were hardcoded to 'user_id'/'item_id')."""
+    r = np.random.default_rng(0)
+    data = {"u": r.integers(0, 60, 2000), "i": r.integers(0, 40, 2000)}
+    m = RecSys(data, "u", "i", n_factors=8, dynamic_neg_sampling=True,
+               split_ratio=0.7)
+    m.fit(epochs=1, batch_size=256, loss="warp", num_negatives=4,
+          neg_sampling="popularity", verbose=False)
+    d = str(tmp_path / "ck")
+    m.save(d)
+    cold = RecSys.load(d)
+    assert cold._user_col == "u" and cold._item_col == "i"
+    assert cold._split_ratio == 0.7
+    more = {"u": r.integers(0, 80, 500), "i": r.integers(0, 50, 500)}
+    losses = cold.partial_fit(more, epochs=1, batch_size=256, loss="warp",
+                              num_negatives=4, neg_sampling="popularity",
+                              verbose=False)
+    assert np.isfinite(losses).all()
+    # the new-config trainer state round-tripped too
+    assert cold.trainer.cfg.loss == "warp"
+    assert cold.trainer.cfg.num_negatives == 4
+
+
+def test_cold_load_factor_export(tmp_path):
+    r = np.random.default_rng(0)
+    data = {"u": r.integers(0, 60, 2000), "i": r.integers(0, 40, 2000)}
+    m = RecSys(data, "u", "i", n_factors=8, dynamic_neg_sampling=True)
+    m.fit(epochs=1, batch_size=256, loss="sampled_softmax", verbose=False)
+    warm_iv, warm_ib = m.item_vectors()
+    d = str(tmp_path / "ck")
+    m.save(d)
+    cold = RecSys.load(d)
+    iv, ib = cold.item_vectors()
+    np.testing.assert_allclose(iv, warm_iv, rtol=1e-6)
+    np.testing.assert_allclose(ib, warm_ib, rtol=1e-6)

@@ -477,6 +477,77 @@ class RecSys:
         keep = ids[0][ids[0] != row][: min(top_k, n - 1)]
         return self._decode_items(keep[None, :], return_raw_ids, scalar=True)
 
+    # ------------------------------------------------------------------
+    def _linearized(self):
+        self._require_fitted("factor-vector export")
+        if self.ease is not None:
+            raise ValueError(
+                "net_type='ease' has no factor vectors (its model is the "
+                "item-item B matrix); use predict()/similar_items()"
+            )
+        if self.trainer is None:
+            self.trainer = Trainer(
+                self.model, TrainConfig(seed=self.seed), mesh=self.mesh
+            )
+        feat = self.trainer.feature_tables(self.store)
+        params = {"tables": self.state["tables"], "dense": self.state["dense"]}
+        lin = self.model.linearized_catalog(params, feat)
+        if lin is None:
+            raise ValueError(
+                f"net_type {self.model_cfg.net_type!r} does not factorize "
+                "into user/item vectors (joint-tower scoring); factor "
+                "export needs linear/fm/lstm/sasrec"
+            )
+        return params, lin
+
+    def item_vectors(self) -> "tuple[np.ndarray, np.ndarray]":
+        """Catalog item factor vectors for EXTERNAL ANN serving.
+
+        Returns ``(vecs (num_items, D) f32, bias (num_items,) f32)`` in
+        encoded-row order (row i = ``config``'s item row i; decode raw ids
+        via the store's encoder). The model's score is a monotonic
+        transform of ``user_vec · vecs[i] + bias[i] + user_const``, so
+        ranking is preserved under the standard MIPS augmentation — index
+        ``[vecs[i], bias[i]]`` and query with ``[user_vec, 1.0]`` in
+        ScaNN/FAISS/your ANN engine of choice. Metadata side features are
+        already folded into the vectors (they are item-static). No
+        reference analog (its predict path is the only scorer,
+        model.py:341-452).
+        """
+        _, (item_vecs, item_bias, _, _) = self._linearized()
+        return (
+            np.asarray(item_vecs, np.float32),
+            np.asarray(item_bias, np.float32),
+        )
+
+    def user_vectors(
+        self, user_id: Optional[Sequence[Any]] = None
+    ) -> "tuple[np.ndarray, np.ndarray]":
+        """User-side query vectors for external ANN serving.
+
+        ``user_id=None`` exports every user (encoded-row order); otherwise
+        raw ids. Returns ``(vecs (U, D) f32, const (U,) f32)`` — ``const``
+        is the user's row-constant score term (e.g. Linear's user bias):
+        irrelevant to that user's own ranking, returned for score parity.
+        Sequence models encode each user's history window once (their
+        serving-time unmasked semantics, models/lstm.py:linearized_catalog).
+        """
+        params, (_, _, user_fn, _) = self._linearized()
+        if user_id is None:
+            rows = jnp.arange(self.store.schema.num_users, dtype=jnp.int32)
+        else:
+            ids = [user_id] if np.ndim(user_id) == 0 else list(user_id)
+            try:
+                # encode_one is the strict (non-vocab-extending) lookup
+                rows = jnp.asarray(
+                    [self.store.user_encoder.encode_one(u) for u in ids],
+                    jnp.int32,
+                )
+            except KeyError as e:
+                raise KeyError(f"user_vectors: unknown user_id — {e}") from None
+        vecs, const = user_fn(params, rows)
+        return np.asarray(vecs, np.float32), np.asarray(const, np.float32)
+
     def _decode_items(
         self, ids: np.ndarray, return_raw_ids: bool, scalar: bool
     ) -> np.ndarray:
@@ -594,6 +665,14 @@ class RecSys:
             self.model_cfg,
             self.trainer.cfg if self.trainer else None,
         )
+        # dataset-facing ctor state, so a COLD load can update_data /
+        # partial_fit with the ORIGINAL column names and split behavior
+        aux["dataset_cols"] = {
+            "user": self._user_col,
+            "item": self._item_col,
+            "split_ratio": self._split_ratio,
+            "n_updates": self._n_updates,
+        }
         if self.ease is not None:
             # B rides Orbax; the interaction CSR (variable-length, needed to
             # score users and to merge-under-update_data after a cold load)
@@ -678,10 +757,13 @@ class RecSys:
         self.debug = False
         self.path = directory
         self.mesh = mesh
-        self._user_col = "user_id"
-        self._item_col = "item_id"
-        self._split_ratio = 0.8
-        self._n_updates = 0
+        # original dataset-facing ctor state (absent in pre-round-5
+        # checkpoints — fall back to the ctor defaults)
+        cols = aux.get("dataset_cols") or {}
+        self._user_col = cols.get("user", "user_id")
+        self._item_col = cols.get("item", "item_id")
+        self._split_ratio = cols.get("split_ratio", 0.8)
+        self._n_updates = cols.get("n_updates", 0)
         self.store = store
         self.model_cfg = ModelConfig(**aux["model_cfg"])
         self.dynamic_neg_sampling = bool(
