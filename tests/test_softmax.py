@@ -269,3 +269,82 @@ class TestStreaming:
         st_r = t_r.init_state(jax.random.PRNGKey(0))
         _, res_losses = t_r.fit(st_r, store, epochs=2, verbose=False)
         np.testing.assert_allclose(stream_losses, res_losses, rtol=1e-5, atol=1e-6)
+
+
+class TestPallasKernel:
+    """ops/softmax_ce.py — the fused flash-style CE kernel (interpret mode
+    on CPU; hardware numbers in benchmarks/PROFILE.md)."""
+
+    def _inputs(self, b, d=16, n=1000, dup_heavy=False, dtype=jnp.float32):
+        k = jax.random.PRNGKey(0)
+        h = jax.random.normal(k, (b, d), dtype)
+        v = jax.random.normal(jax.random.fold_in(k, 1), (b, d), dtype)
+        vb = jax.random.normal(jax.random.fold_in(k, 2), (b,), jnp.float32)
+        hi = 10 if dup_heavy else n  # dup_heavy: many repeated positives
+        pos = jax.random.randint(jax.random.fold_in(k, 3), (b,), 0, hi, jnp.int32)
+        logq = jax.random.normal(jax.random.fold_in(k, 4), (n,), jnp.float32) * 0.1
+        return h, v, vb, pos, logq
+
+    @pytest.mark.parametrize("b,dup", [(128, False), (256, True), (512, False)])
+    def test_fwd_and_grads_match_xla(self, b, dup):
+        from torchrecsys_tpu.ops.softmax_ce import inbatch_softmax_ce
+        from torchrecsys_tpu.train.trainer import _inbatch_softmax_rows
+
+        h, v, vb, pos, logq = self._inputs(b, dup_heavy=dup)
+        ref = _inbatch_softmax_rows(h, v, vb, pos, logq)
+        got = inbatch_softmax_ce(h, v, vb - jnp.take(logq, pos), pos, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+        gr = jax.grad(lambda *a: jnp.mean(_inbatch_softmax_rows(*a, pos, logq)),
+                      argnums=(0, 1, 2))(h, v, vb)
+        gk = jax.grad(lambda h, v, vb: jnp.mean(
+            inbatch_softmax_ce(h, v, vb - jnp.take(logq, pos), pos, True)),
+            argnums=(0, 1, 2))(h, v, vb)
+        for a, b_ in zip(gr, gk):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_no_logq_path(self):
+        from torchrecsys_tpu.ops.softmax_ce import inbatch_softmax_ce
+        from torchrecsys_tpu.train.trainer import _inbatch_softmax_rows
+
+        h, v, vb, pos, _ = self._inputs(128)
+        ref = _inbatch_softmax_rows(h, v, vb, pos, None)
+        got = inbatch_softmax_ce(h, v, vb, pos, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_applicability(self):
+        from torchrecsys_tpu.ops.softmax_ce import softmax_kernel_applicable
+        from torchrecsys_tpu.parallel import make_mesh
+
+        assert softmax_kernel_applicable(2048, 80, None)
+        assert not softmax_kernel_applicable(100, 80, None)  # indivisible
+        assert not softmax_kernel_applicable(2048, 200, None)  # d > lanes
+        mesh = make_mesh(jax.devices()[:2], model=1)
+        assert not softmax_kernel_applicable(2048, 80, mesh)
+
+    def test_trainer_epoch_parity(self):
+        """pallas_softmax=True (interpret on CPU) reproduces the XLA epoch
+        bit-for-bit-ish: losses and tables at f32 tolerance."""
+        data = make_learnable_interactions()
+        store = prepare_data(data, "user_id", "item_id", dynamic_neg_sampling=True)
+
+        def run(pallas):
+            model = build_model(store.schema, ModelConfig(n_factors=16))
+            trainer = Trainer(model, TrainConfig(
+                batch_size=256, learning_rate=0.05, dynamic_neg_sampling=True,
+                loss="sampled_softmax", pallas_softmax=pallas, seed=5))
+            state = trainer.init_state(jax.random.PRNGKey(0))
+            state, losses = trainer.fit(state, store, epochs=2, verbose=False)
+            return losses, np.asarray(state["tables"]["item"])
+
+        l_x, t_x = run(False)
+        l_k, t_k = run(True)
+        np.testing.assert_allclose(l_k, l_x, rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(t_k, t_x, rtol=2e-4, atol=1e-6)
+
+    def test_bad_mode_rejected(self):
+        store = _store()
+        model = build_model(store.schema, ModelConfig(n_factors=8))
+        with pytest.raises(ValueError, match="pallas_softmax"):
+            Trainer(model, TrainConfig(loss="sampled_softmax", pallas_softmax=1))

@@ -151,6 +151,13 @@ class TrainConfig:
     # learned scores estimate the popularity-debiased conditional — the
     # standard correction (Bengio & Senecal 2008; YouTube retrieval).
     logq_correction: bool = True
+    # Run the sampled_softmax CE as the fused flash-style Pallas kernel
+    # (ops/softmax_ce.py: row-tiled matmul + mask + logsumexp in VMEM,
+    # B^2 logits never reach HBM) when applicable (single device,
+    # n_factors <= 128, batch divisible by the row tile). Same tri-state
+    # as pallas_step: "auto" = on real TPUs only, True = force (interpret
+    # off-TPU, for parity tests), False = always the XLA formulation.
+    pallas_softmax: Any = "auto"
     # Negatives sampled per positive, drawn IN-STEP (K > 1 ignores any
     # stored static negatives — there is no stored K-column). The one-
     # negative losses average over the K draws; ``adaptive_hinge`` takes the

@@ -202,6 +202,17 @@ class Trainer:
                     "distribution, logQ-corrected); leave it 'uniform'"
                 )
             self.loss_fn = self.per_row_fn = None
+            # exact singletons only — 1/np.True_/"true" must not silently
+            # select a mode (same rule as pallas_step)
+            if not (
+                cfg.pallas_softmax is True
+                or cfg.pallas_softmax is False
+                or cfg.pallas_softmax == "auto"
+            ):
+                raise ValueError(
+                    f"TrainConfig.pallas_softmax must be True, False or "
+                    f"'auto'; got {cfg.pallas_softmax!r}"
+                )
         else:
             self.loss_fn = get_loss(cfg.loss, model.schema.num_items)
             self.per_row_fn = get_per_row_loss(cfg.loss, model.schema.num_items)
@@ -269,6 +280,34 @@ class Trainer:
         return sample_negatives(
             k, tgt, self.model.schema.num_items, self.cfg.avoid_collisions
         )
+
+    # ------------------------------------------------------------------
+    def _softmax_rows(
+        self,
+        h: jnp.ndarray,
+        v: jnp.ndarray,
+        vb: jnp.ndarray,
+        pos: jnp.ndarray,
+        logq: Optional[jnp.ndarray],
+    ) -> jnp.ndarray:
+        """Per-row in-batch CE: the fused Pallas kernel when the config and
+        shapes allow (ops/softmax_ce.py), else the XLA formulation."""
+        mode = self.cfg.pallas_softmax
+        use = mode is True or (mode == "auto" and jax.default_backend() == "tpu")
+        if use:
+            from torchrecsys_tpu.ops.softmax_ce import (
+                inbatch_softmax_ce,
+                softmax_kernel_applicable,
+            )
+
+            if softmax_kernel_applicable(h.shape[0], h.shape[1], self.mesh):
+                vbq = vb.astype(jnp.float32)
+                if logq is not None:
+                    vbq = vbq - jnp.take(logq, pos)
+                return inbatch_softmax_ce(
+                    h, v, vbq, pos, jax.default_backend() != "tpu"
+                )
+        return _inbatch_softmax_rows(h, v, vb, pos, logq)
 
     # ------------------------------------------------------------------
     def _paired_side(
@@ -453,7 +492,7 @@ class Trainer:
                 h, vv, vb, st = model.pair_vectors(
                     dense_, state["model_state"], full, side, train=True
                 )
-                per_row = _inbatch_softmax_rows(
+                per_row = self._softmax_rows(
                     h, vv, vb, pos, feat.get("logq") if feat else None
                 )
             else:
@@ -924,7 +963,7 @@ class Trainer:
                     params["dense"], state["model_state"], rows_p, side_p,
                     train=False,
                 )
-                loss_rows = _inbatch_softmax_rows(
+                loss_rows = self._softmax_rows(
                     h, vp, vbp, pos, feat.get("logq") if feat else None
                 )
                 neg = self._sample_negs(
