@@ -348,3 +348,32 @@ class TestPallasKernel:
         model = build_model(store.schema, ModelConfig(n_factors=8))
         with pytest.raises(ValueError, match="pallas_softmax"):
             Trainer(model, TrainConfig(loss="sampled_softmax", pallas_softmax=1))
+
+
+class TestAmp:
+    def test_bf16_vectors_through_kernel(self):
+        """use_amp models hand bf16 h/v to the CE; the kernel casts to f32
+        internally — parity with the XLA formulation at bf16 tolerance."""
+        from torchrecsys_tpu.ops.softmax_ce import inbatch_softmax_ce
+        from torchrecsys_tpu.train.trainer import _inbatch_softmax_rows
+
+        b, d = 128, 16
+        k = jax.random.PRNGKey(0)
+        h = jax.random.normal(k, (b, d), jnp.bfloat16)
+        v = jax.random.normal(jax.random.fold_in(k, 1), (b, d), jnp.bfloat16)
+        vb = jax.random.normal(jax.random.fold_in(k, 2), (b,), jnp.float32)
+        pos = jax.random.randint(jax.random.fold_in(k, 3), (b,), 0, 50, jnp.int32)
+        ref = np.asarray(_inbatch_softmax_rows(h, v, vb, pos, None))
+        got = np.asarray(inbatch_softmax_ce(h, v, vb, pos, True))
+        np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+        gk = jax.grad(lambda h, v: jnp.mean(
+            inbatch_softmax_ce(h, v, vb, pos, True)), argnums=(0, 1))(h, v)
+        assert gk[0].dtype == jnp.bfloat16 and gk[1].dtype == jnp.bfloat16
+
+    def test_amp_training_runs(self):
+        data = make_learnable_interactions()
+        m = RecSys(data, "user_id", "item_id", n_factors=16, use_amp=True,
+                   dynamic_neg_sampling=True)
+        losses = m.fit(epochs=2, batch_size=256, loss="sampled_softmax",
+                       verbose=False)
+        assert np.isfinite(losses).all()
