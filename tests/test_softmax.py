@@ -315,13 +315,65 @@ class TestPallasKernel:
 
     def test_applicability(self):
         from torchrecsys_tpu.ops.softmax_ce import softmax_kernel_applicable
+
+        assert softmax_kernel_applicable(2048, 80)
+        assert not softmax_kernel_applicable(100, 80)  # indivisible
+        assert not softmax_kernel_applicable(2048, 200)  # d > lanes
+
+    def test_dp_wrapper_matches_single_device(self):
+        """shard_map kernel (local rows vs all-gathered global columns,
+        global-index masks) == single-device kernel == XLA formulation."""
+        from torchrecsys_tpu.ops.softmax_ce import (
+            inbatch_softmax_ce,
+            inbatch_softmax_ce_dp,
+        )
+        from torchrecsys_tpu.parallel import make_mesh
+        from torchrecsys_tpu.train.trainer import _inbatch_softmax_rows
+
+        b, d = 512, 16
+        k = jax.random.PRNGKey(0)
+        h = jax.random.normal(k, (b, d), jnp.float32)
+        v = jax.random.normal(jax.random.fold_in(k, 1), (b, d), jnp.float32)
+        vb = jax.random.normal(jax.random.fold_in(k, 2), (b,), jnp.float32)
+        pos = jax.random.randint(jax.random.fold_in(k, 3), (b,), 0, 40, jnp.int32)
+        mesh = make_mesh(jax.devices()[:8], model=2)  # data axis = 4
+        ref = np.asarray(_inbatch_softmax_rows(h, v, vb, pos, None))
+        one = np.asarray(inbatch_softmax_ce(h, v, vb, pos, True))
+        dp = np.asarray(inbatch_softmax_ce_dp(mesh, h, v, vb, pos, True))
+        np.testing.assert_allclose(one, ref, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(dp, one, rtol=2e-5, atol=2e-5)
+        # gradients through the shard_map + all_gather
+        gr = jax.grad(lambda h, v, vb: jnp.mean(
+            _inbatch_softmax_rows(h, v, vb, pos, None)), argnums=(0, 1, 2))(h, v, vb)
+        gd = jax.grad(lambda h, v, vb: jnp.mean(
+            inbatch_softmax_ce_dp(mesh, h, v, vb, pos, True)),
+            argnums=(0, 1, 2))(h, v, vb)
+        for a, b_ in zip(gr, gd):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_trainer_mesh_epoch_parity_with_kernel(self):
+        """pallas_softmax=True on a (4,2) mesh reproduces the XLA epoch."""
         from torchrecsys_tpu.parallel import make_mesh
 
-        assert softmax_kernel_applicable(2048, 80, None)
-        assert not softmax_kernel_applicable(100, 80, None)  # indivisible
-        assert not softmax_kernel_applicable(2048, 200, None)  # d > lanes
-        mesh = make_mesh(jax.devices()[:2], model=1)
-        assert not softmax_kernel_applicable(2048, 80, mesh)
+        data = make_learnable_interactions()
+        store = prepare_data(data, "user_id", "item_id", dynamic_neg_sampling=True)
+        mesh = make_mesh(jax.devices()[:8], model=2)
+
+        def run(pallas):
+            model = build_model(store.schema, ModelConfig(n_factors=16))
+            trainer = Trainer(model, TrainConfig(
+                batch_size=512, learning_rate=0.05, dynamic_neg_sampling=True,
+                loss="sampled_softmax", pallas_softmax=pallas, seed=5),
+                mesh=mesh)
+            state = trainer.init_state(jax.random.PRNGKey(0))
+            state, losses = trainer.fit(state, store, epochs=2, verbose=False)
+            return losses, np.asarray(state["tables"]["item"])
+
+        l_x, t_x = run(False)
+        l_k, t_k = run(True)
+        np.testing.assert_allclose(l_k, l_x, rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(t_k, t_x, rtol=2e-4, atol=1e-6)
 
     def test_trainer_epoch_parity(self):
         """pallas_softmax=True (interpret on CPU) reproduces the XLA epoch

@@ -297,16 +297,24 @@ class Trainer:
         if use:
             from torchrecsys_tpu.ops.softmax_ce import (
                 inbatch_softmax_ce,
+                inbatch_softmax_ce_dp,
                 softmax_kernel_applicable,
             )
 
-            if softmax_kernel_applicable(h.shape[0], h.shape[1], self.mesh):
-                vbq = vb.astype(jnp.float32)
-                if logq is not None:
-                    vbq = vbq - jnp.take(logq, pos)
-                return inbatch_softmax_ce(
-                    h, v, vbq, pos, jax.default_backend() != "tpu"
-                )
+            interp = jax.default_backend() != "tpu"
+            b = h.shape[0]
+            vbq = vb.astype(jnp.float32)
+            if logq is not None:
+                vbq = vbq - jnp.take(logq, pos)
+            if self.mesh is None:
+                if softmax_kernel_applicable(b, h.shape[1]):
+                    return inbatch_softmax_ce(h, v, vbq, pos, interp)
+            else:
+                # shard_map DP wrapper: local rows vs the all-gathered
+                # global batch — per-shard tile sizes must still divide
+                nd = self.mesh.shape.get("data", 1)
+                if b % nd == 0 and softmax_kernel_applicable(b // nd, h.shape[1]):
+                    return inbatch_softmax_ce_dp(self.mesh, h, v, vbq, pos, interp)
         return _inbatch_softmax_rows(h, v, vb, pos, logq)
 
     # ------------------------------------------------------------------
