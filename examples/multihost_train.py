@@ -21,12 +21,12 @@ What is multi-host-aware here without any further code:
   (``parallel/distributed.py:put_sharded``).
 """
 
+from __future__ import annotations
+
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-from __future__ import annotations
 
 import argparse
 

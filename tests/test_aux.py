@@ -106,3 +106,16 @@ def test_op_summary_parses_trace(tmp_path):
     # every event's metadata id resolves through some plane's name table
     table = op_summary(d, row_limit=5)
     assert "op" in table and "failed to parse" not in table, table[:400]
+
+
+def test_all_examples_parse():
+    """Every example must at least compile — a misplaced sys.path shim
+    above `from __future__` broke multihost_train.py once (round 5)."""
+    import pathlib
+    import py_compile
+
+    ex_dir = pathlib.Path(__file__).parent.parent / "examples"
+    files = sorted(ex_dir.glob("*.py"))
+    assert files, "no examples found"
+    for f in files:
+        py_compile.compile(str(f), doraise=True)
