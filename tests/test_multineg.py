@@ -375,3 +375,45 @@ class TestNdcgExact:
         inv = np.asarray([0, 0])
         out = topk_ranking_metrics(topk, inv, np.asarray([7, 3]), 1, (4,), 10)
         np.testing.assert_allclose(out["ndcg@4"], 1.0, rtol=1e-9)
+
+
+class TestReviewRegressions:
+    """Round-5 code-review findings (confirmed bugs), pinned."""
+
+    def test_ndcg_duplicate_test_rows_capped(self):
+        """Duplicate (user, item) test rows must not push NDCG past 1.0:
+        DCG counts distinct hits, IDCG packs distinct items."""
+        from torchrecsys_tpu.eval.predict import topk_ranking_metrics
+
+        topk = np.asarray([[5, 1, 2]])
+        inv = np.asarray([0, 0])
+        test_items = np.asarray([5, 5])  # the same pair twice
+        out = topk_ranking_metrics(topk, inv, test_items, 1, (3,), 10)
+        np.testing.assert_allclose(out["ndcg@3"], 1.0, rtol=1e-9)
+        # recall stays per-row (duplicates cancel): 2 hits / 2 rows
+        np.testing.assert_allclose(out["recall@3"], 1.0)
+
+    def test_warp_eval_loss_uses_train_k(self):
+        """Eval loss draws the train config's K negatives — warp's graded
+        rank estimate, not the degenerate 0-or-log(N) 1-draw weight (the
+        pre-fix behavior forced num=1)."""
+        data = make_learnable_interactions()
+        store = prepare_data(data, "user_id", "item_id", dynamic_neg_sampling=True)
+        model = build_model(store.schema, ModelConfig(n_factors=16))
+        t = Trainer(model, TrainConfig(
+            batch_size=256, dynamic_neg_sampling=True, loss="warp",
+            num_negatives=8, seed=3))
+        state = t.init_state(jax.random.PRNGKey(0))
+        drawn = []
+        orig = t._sample_negs
+
+        def spy(rng, step, pos, feat, num=None):
+            out = orig(rng, step, pos, feat, num)
+            drawn.append(out.shape)
+            return out
+
+        t._sample_negs = spy
+        out = t.evaluate(state, store, verbose=False)
+        assert np.isfinite(out["loss"]) and np.isfinite(out["auc"])
+        # the eval body sampled the full (K, b) block, not a single draw
+        assert drawn and all(len(s) == 2 and s[0] == 8 for s in drawn), drawn

@@ -429,3 +429,36 @@ class TestAmp:
         losses = m.fit(epochs=2, batch_size=256, loss="sampled_softmax",
                        verbose=False)
         assert np.isfinite(losses).all()
+
+
+class TestEvalLogq:
+    def test_cold_test_items_do_not_blow_up_eval_loss(self):
+        """Eval's logQ comes from the TEST distribution: a test item with
+        zero train occurrences (every user's newest item under a temporal
+        split) must not add a log(1e-12) ~ +27.6 column to every row's
+        logsumexp (round-5 review finding, confirmed)."""
+        import dataclasses
+
+        data = make_learnable_interactions(n_items=40)
+        store = prepare_data(data, "user_id", "item_id", dynamic_neg_sampling=True)
+        # make HALF the test items train-cold: remap them onto ids the
+        # train split never uses (grow the schema so rows exist)
+        n_old = store.schema.num_items
+        cold = np.where(np.arange(len(store.test_items)) % 2 == 0,
+                        store.test_items + n_old, store.test_items)
+        schema = dataclasses.replace(
+            store.schema, num_items=2 * n_old
+        )
+        store = dataclasses.replace(
+            store, schema=schema, test_items=cold.astype(store.test_items.dtype)
+        )
+        model = build_model(store.schema, ModelConfig(n_factors=16))
+        t = Trainer(model, TrainConfig(
+            batch_size=256, dynamic_neg_sampling=True, loss="sampled_softmax",
+            seed=3))
+        state = t.init_state(jax.random.PRNGKey(0))
+        state, _ = t.fit(state, store, epochs=2, verbose=False)
+        out = t.evaluate(state, store, verbose=False)
+        # broken behavior measured ~22-28 (the floor term dominates);
+        # the test-frequency correction keeps it near log(batch) scale
+        assert out["loss"] < 12.0, out

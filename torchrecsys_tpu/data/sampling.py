@@ -75,16 +75,25 @@ def popularity_cdf(
     device-side ``searchsorted`` — no alias-table build, no host RNG in the
     step. No reference analog (uniform-only, dataset.py:56-64, 435-454).
     """
+    w, total = _popularity_weights(train_items, num_items, alpha)
+    return np.cumsum(w / total).astype(np.float32)
+
+
+def _popularity_weights(
+    train_items: np.ndarray, num_items: int, alpha: float
+) -> "tuple[np.ndarray, float]":
+    """Shared count^alpha weighting (with the degenerate-empty-split
+    uniform fallback) behind both the CDF reference implementation and
+    the alias builder — one place to change the smoothing rule."""
     counts = np.bincount(
         np.asarray(train_items, np.int64), minlength=num_items
     ).astype(np.float64)
     w = counts**alpha
     total = w.sum()
     if total <= 0:
-        # degenerate empty split: fall back to uniform
         w = np.ones(num_items, np.float64)
         total = float(num_items)
-    return np.cumsum(w / total).astype(np.float32)
+    return w, total
 
 
 def alias_table(
@@ -106,17 +115,14 @@ def alias_table(
     Zero-count items get prob 0 in slots whose alias points at a popular
     item — they are never drawn, matching :func:`popularity_cdf` semantics.
     """
-    counts = np.bincount(
-        np.asarray(train_items, np.int64), minlength=num_items
-    ).astype(np.float64)
-    w = counts**alpha
-    total = w.sum()
-    if total <= 0:
-        w = np.ones(num_items, np.float64)
-        total = float(num_items)
+    w, total = _popularity_weights(train_items, num_items, alpha)
     scaled = w / total * num_items  # mean 1.0
     if num_items >= 2:
-        top2 = np.argsort(-w, kind="stable")[:2].astype(np.int32)
+        # O(N) top-2 (a full argsort would rival the C++ Vose build's own
+        # cost at 10M-item catalogs)
+        top2 = np.argpartition(-w, 1)[:2].astype(np.int32)
+        if w[top2[1]] > w[top2[0]]:
+            top2 = top2[::-1].copy()
     else:
         top2 = np.zeros(2, np.int32)
     from torchrecsys_tpu import native

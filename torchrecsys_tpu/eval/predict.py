@@ -403,6 +403,17 @@ def topk_ranking_metrics(
     member = topk[inv] == test_items[:, None]  # (n_test, max_k)
     n_rows_per_user = np.bincount(inv, minlength=n_uniq).astype(np.float64)
     disc = 1.0 / np.log2(np.arange(topk.shape[1]) + 2.0)  # DCG discounts
+    # NDCG works on DISTINCT (user, item) pairs: a repeated interaction
+    # would add the same hit position to DCG once per duplicate row while
+    # IDCG packs duplicates into distinct positions — pushing NDCG past
+    # 1.0. recall/precision/hit_rate stay per-row (duplicates cancel in
+    # both numerator and denominator there).
+    pair_key = inv.astype(np.int64) * (num_items + 1) + test_items.astype(np.int64)
+    _, first_idx = np.unique(pair_key, return_index=True)
+    dedup = np.zeros(len(inv), bool)
+    dedup[first_idx] = True
+    inv_d = inv[dedup]
+    n_distinct = np.bincount(inv_d, minlength=n_uniq).astype(np.int64)
     out: Dict[str, float] = {}
     for k in ks:
         kk = min(k, num_items)
@@ -411,12 +422,13 @@ def topk_ranking_metrics(
         out[f"recall@{k}"] = float(np.mean(hits_per_user / n_rows_per_user))
         out[f"precision@{k}"] = float(np.mean(hits_per_user / kk))
         out[f"hit_rate@{k}"] = float(np.mean(hits_per_user > 0))
-        # binary-gain NDCG: each hit row contributes 1/log2(2+rank); the
-        # ideal ranking packs the user's test rows into the top positions
-        gain_row = (member[:, :kk] * disc[:kk]).sum(axis=1)
-        dcg = np.bincount(inv, weights=gain_row, minlength=n_uniq)
+        # binary-gain NDCG: each distinct hit contributes 1/log2(2+rank);
+        # the ideal ranking packs the user's distinct test items into the
+        # top positions
+        gain_row = (member[dedup][:, :kk] * disc[:kk]).sum(axis=1)
+        dcg = np.bincount(inv_d, weights=gain_row, minlength=n_uniq)
         ideal_cum = np.concatenate([[0.0], np.cumsum(disc[:kk])])
-        idcg = ideal_cum[np.minimum(n_rows_per_user.astype(np.int64), kk)]
+        idcg = ideal_cum[np.minimum(n_distinct, kk)]
         out[f"ndcg@{k}"] = float(np.mean(dcg / np.maximum(idcg, 1e-12)))
     return out
 

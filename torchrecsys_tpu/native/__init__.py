@@ -40,36 +40,43 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
+
+        def bind() -> Optional[ctypes.CDLL]:
+            try:
+                lib = ctypes.CDLL(_SO)
+                i64, i32p, i64p = (
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int64),
+                )
+                for name in ("trs_encode_u32", "trs_encode_bytes"):
+                    fn = getattr(lib, name)
+                    fn.restype = i64
+                    fn.argtypes = [ctypes.c_void_p, i64, i64, i32p, i64p]
+                for name in ("trs_parse_int_lists_u32", "trs_parse_int_lists_bytes"):
+                    fn = getattr(lib, name)
+                    fn.restype = i64
+                    fn.argtypes = [ctypes.c_void_p, i64, i64, i32p, i64, i64p]
+                fn = lib.trs_alias_build
+                fn.restype = i64
+                fn.argtypes = [
+                    ctypes.POINTER(ctypes.c_double),
+                    i64,
+                    ctypes.POINTER(ctypes.c_float),
+                    i32p,
+                ]
+                return lib
+            except (OSError, AttributeError):
+                # AttributeError = a stale .so missing a newer symbol (mtime
+                # comparison can be fooled by restored caches/clock skew)
+                return None
+
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             if not _build():
                 return None
-        try:
-            lib = ctypes.CDLL(_SO)
-        except OSError:
-            return None
-        i64, i32p, i64p, cp = (
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_char_p,
-        )
-        for name in ("trs_encode_u32", "trs_encode_bytes"):
-            fn = getattr(lib, name)
-            fn.restype = i64
-            fn.argtypes = [ctypes.c_void_p, i64, i64, i32p, i64p]
-        for name in ("trs_parse_int_lists_u32", "trs_parse_int_lists_bytes"):
-            fn = getattr(lib, name)
-            fn.restype = i64
-            fn.argtypes = [ctypes.c_void_p, i64, i64, i32p, i64, i64p]
-        fn = lib.trs_alias_build
-        fn.restype = i64
-        fn.argtypes = [
-            ctypes.POINTER(ctypes.c_double),
-            i64,
-            ctypes.POINTER(ctypes.c_float),
-            i32p,
-        ]
-        _lib = lib
+        _lib = bind()
+        if _lib is None and _build():  # stale binary: rebuild once and retry
+            _lib = bind()
         return _lib
 
 

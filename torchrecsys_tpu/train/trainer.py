@@ -924,17 +924,21 @@ class Trainer:
             feat["neg_alias"] = jnp.asarray(alias)
             feat["neg_fb"] = jnp.asarray(fb)
         if self._softmax and self.cfg.logq_correction:
-            counts = np.bincount(
-                np.asarray(store.train_items, np.int64),
-                minlength=self.model.schema.num_items,
-            ).astype(np.float64)
-            q = counts / max(counts.sum(), 1.0)
-            # zero-count items never appear as in-batch candidates; the
-            # floor only keeps log finite for them
-            feat["logq"] = jnp.asarray(
-                np.log(np.maximum(q, 1e-12)), jnp.float32
-            )
+            feat["logq"] = self._logq_from(store.train_items)
         return feat
+
+    def _logq_from(self, items: np.ndarray) -> jnp.ndarray:
+        """(num_items,) log empirical frequency of ``items`` — the logQ
+        correction for batches whose candidate columns are drawn from that
+        split. Items absent from the split never appear as columns of such
+        a batch, so the 1e-12 floor only keeps their (never-gathered) logs
+        finite."""
+        counts = np.bincount(
+            np.asarray(items, np.int64),
+            minlength=self.model.schema.num_items,
+        ).astype(np.float64)
+        q = counts / max(counts.sum(), 1.0)
+        return jnp.asarray(np.log(np.maximum(q, 1e-12)), jnp.float32)
 
     # ------------------------------------------------------------------
     def _eval_fn(
@@ -991,20 +995,28 @@ class Trainer:
                     neg = batch["neg_item_id"]
                 else:
                     # dynamic mode: eval negatives re-drawn per call — seeded,
-                    # unlike the reference's nondeterministic eval (model.py:303).
-                    # ONE negative regardless of num_negatives: eval keeps the
-                    # reference's 1-negative pairwise protocol (model.py:292-338)
-                    # so AUC stays comparable across K; the sampling
-                    # DISTRIBUTION follows the train config.
+                    # unlike the reference's nondeterministic eval
+                    # (model.py:303). The LOSS draws the train config's K
+                    # negatives so its value is comparable to the train
+                    # objective (warp's rank estimate collapses to
+                    # 0-or-log(N) at K=1); AUC keeps the reference's
+                    # 1-negative pairwise protocol via the FIRST draw.
                     neg = self._sample_negs(
-                        state["rng"], 0x5EED + carry["i"], pos, feat, num=1
+                        state["rng"], 0x5EED + carry["i"], pos, feat
                     )
                 side = self._paired_side(user, pos, neg, feat)
                 scores, _ = self.model.score(
                     params, state["model_state"], side, train=False
                 )
-                ps, ns = scores[:b], scores[b:]
-                loss_rows = per_row_loss(ps, ns, self.cfg.margin)
+                reps = side["item_id"].shape[0] // b
+                ps = scores[:b]
+                ns_all = scores[b:]
+                if reps > 2:
+                    ns_all = ns_all.reshape(reps - 1, b)
+                    ns = ns_all[0]  # AUC: 1-negative reference protocol
+                else:
+                    ns = ns_all
+                loss_rows = per_row_loss(ps, ns_all, self.cfg.margin)
             w = v.astype(jnp.float32)
             new = {
                 "i": carry["i"] + 1,
@@ -1049,6 +1061,12 @@ class Trainer:
             data[k] = jnp.asarray(arr).reshape((nb, b) + v.shape[1:])
         valid = jnp.arange(nb * b).reshape(nb, b) < n
         feat = self.feature_tables(store)
+        if self._softmax and self.cfg.logq_correction:
+            # eval's candidate columns are TEST positives, so the correct
+            # sampling distribution is the TEST frequency — the train-split
+            # logq would blow up the logsumexp for any train-cold test item
+            # (e.g. every user's newest item under a temporal split)
+            feat = dict(feat, logq=self._logq_from(store.test_items))
         out = self._eval_jit(state, data, valid, feat)
         result = {k: float(v) for k, v in out.items()}
         if verbose:
